@@ -1,0 +1,312 @@
+"""Experiment configuration: dataclass-validated YAML.
+
+Equivalent of the reference's ``utils/config.py :: FLAGS`` (YAML -> AttrDict
+singleton) and the ``apps/*.yml`` experiment files — but with explicit typed
+dataclasses passed around instead of a module-global singleton, and strict
+unknown-key rejection so config typos fail loudly.
+
+The reference CLI convention ``python train.py app:apps/atomnas_c.yml`` is
+kept alongside ``--config`` (see cli/train.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pathlib
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import yaml
+
+# ---------------------------------------------------------------------------
+# Leaf configs
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockSetting:
+    """One entry of the inverted-residual setting table.
+
+    Mirrors the reference's ``FLAGS.model_kwparams.inverted_residual_setting``
+    rows (mobilenet_base.py :: InvertedResidualChannels construction): output
+    channels, repeats, stride, kernel list and per-kernel expansion channels.
+    """
+
+    t: float  # per-kernel expansion ratio (hidden = round(t * c_in) per kernel)
+    c: int  # output channels
+    n: int  # number of repeats (stride applies to the first)
+    s: int  # stride of the first repeat
+    ks: Tuple[int, ...] = (3, 5, 7)  # parallel depthwise kernel sizes
+
+
+# MobileNetV2 backbone table; AtomNAS replaces each t=6 block with three
+# parallel kernel branches each of expansion ratio 6 (paper sec. 4.1), so the
+# supernet's hidden width per block is 3 * 6 * c_in before shrinkage.
+DEFAULT_SUPERNET_SETTING: Tuple[BlockSetting, ...] = (
+    BlockSetting(t=1, c=16, n=1, s=1, ks=(3,)),
+    BlockSetting(t=6, c=24, n=2, s=2),
+    BlockSetting(t=6, c=32, n=3, s=2),
+    BlockSetting(t=6, c=64, n=4, s=2),
+    BlockSetting(t=6, c=96, n=3, s=1),
+    BlockSetting(t=6, c=160, n=3, s=2),
+    BlockSetting(t=6, c=320, n=1, s=1),
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    num_classes: int = 1000
+    input_size: int = 224
+    width_mult: float = 1.0
+    stem_channels: int = 32
+    head_channels: int = 1280
+    active_fn: str = "relu6"  # "relu6" | "swish"
+    se_ratio: float = 0.0  # 0 disables squeeze-excite; + variants use 0.25
+    dropout: float = 0.2
+    bn_momentum: float = 0.1  # torch-style: new = (1-m)*old + m*batch
+    bn_epsilon: float = 1e-5
+    round_divisor: int = 8  # channel rounding divisor (_make_divisible)
+    compute_dtype: str = "bfloat16"  # activations/conv dtype; params stay f32
+    # inverted residual setting; None -> DEFAULT_SUPERNET_SETTING
+    inverted_residual_setting: Optional[Tuple[BlockSetting, ...]] = None
+
+    def setting(self) -> Tuple[BlockSetting, ...]:
+        return self.inverted_residual_setting or DEFAULT_SUPERNET_SETTING
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "synthetic"  # "synthetic" | "imagefolder" | "tfds"
+    root: str = ""  # dataset root for imagefolder
+    num_classes: int = 1000
+    image_size: int = 224
+    eval_image_size: int = 224
+    eval_resize: int = 256
+    batch_size: int = 1024  # GLOBAL batch size
+    eval_batch_size: int = 1024
+    mixup_alpha: float = 0.0  # 0 disables mixup
+    color_jitter: bool = False
+    num_workers: int = 8
+    prefetch: int = 2
+    mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+    std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+    train_examples: int = 1_281_167  # ImageNet-1k default
+    eval_examples: int = 50_000
+    use_native_decoder: bool = True  # C++ JPEG decode path when available
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    optimizer: str = "sgd"
+    momentum: float = 0.9
+    nesterov: bool = True
+    weight_decay: float = 1e-4
+    # weight decay applies only to conv/fc kernels, never to BN scale/bias or
+    # biases (slimmable/MNAS convention; SURVEY.md sec 2.1 optim row).
+    base_lr: float = 0.5  # at base_batch reference batch size
+    base_batch: int = 1024  # lr scales linearly with global batch / base_batch
+    warmup_epochs: float = 5.0
+    lr_schedule: str = "cosine"  # "cosine" | "linear" | "exp"
+    end_lr: float = 0.0
+    epochs: int = 250
+    label_smoothing: float = 0.1
+    ema_decay: float = 0.9999  # 0 disables EMA
+    grad_accum_steps: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class SearchConfig:
+    enabled: bool = True
+    # resource-aware L1 penalty coefficient rho on depthwise-BN gammas
+    penalty: float = 1.8e-4
+    # per-atom weights proportional to atom FLOPs, normalized to mean 1 over
+    # the supernet at init (SURVEY.md sec 2.1 shrinkage row).
+    flops_weighted: bool = True
+    prune_threshold: float = 1e-3  # atom dies when |gamma| < threshold
+    shrink_interval_steps: int = 2000  # mask update cadence (steps)
+    start_step: int = 0  # first step at which shrinkage may occur
+    # re-slice-and-recompile cadence, in shrink events; 0 disables reslice
+    reslice_every_events: int = 10
+    # keep at least this many atoms alive in blocks that cannot become
+    # identity (non-residual blocks); residual blocks may die entirely.
+    min_atoms_nonresidual: int = 1
+    flops_budget: float = 0.0  # informational target, logged vs live FLOPs
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    # axis sizes; -1 on data axis means "all remaining devices"
+    data: int = -1
+    model: int = 1
+    # batch is sharded over "data"; the classifier head is sharded over
+    # "model" when model > 1 (cheap TP demonstration; reference is DP-only).
+
+
+@dataclasses.dataclass(frozen=True)
+class RunConfig:
+    log_dir: str = "runs/default"
+    seed: int = 0
+    log_interval_steps: int = 50
+    eval_interval_epochs: int = 1
+    checkpoint_interval_epochs: int = 1
+    keep_checkpoints: int = 3
+    test_only: bool = False
+    pretrained: str = ""  # checkpoint path for test_only / finetune
+    resume: bool = True  # auto-resume from latest checkpoint in log_dir
+    num_train_steps: int = 0  # 0 -> derived from epochs * steps_per_epoch
+    profile: bool = False  # capture a jax.profiler trace of a few hot steps
+    use_pallas: bool = False  # enable Pallas fused kernels (XLA fallback off)
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    name: str = "experiment"
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
+    search: SearchConfig = dataclasses.field(default_factory=SearchConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    run: RunConfig = dataclasses.field(default_factory=RunConfig)
+
+
+# ---------------------------------------------------------------------------
+# YAML <-> dataclass plumbing
+# ---------------------------------------------------------------------------
+
+
+class ConfigError(ValueError):
+    pass
+
+
+def _coerce(value: Any, typ: Any) -> Any:
+    """Coerce a YAML value into the annotated dataclass field type."""
+    import typing
+
+    origin = typing.get_origin(typ)
+    if origin is tuple:
+        args = typing.get_args(typ)
+        if not isinstance(value, (list, tuple)):
+            raise ConfigError(f"expected sequence for {typ}, got {value!r}")
+        if len(args) == 2 and args[1] is Ellipsis:
+            return tuple(_coerce(v, args[0]) for v in value)
+        return tuple(_coerce(v, t) for v, t in zip(value, args))
+    if origin is typing.Union:  # Optional[...]
+        args = [a for a in typing.get_args(typ) if a is not type(None)]
+        if value is None:
+            return None
+        return _coerce(value, args[0])
+    if dataclasses.is_dataclass(typ):
+        if not isinstance(value, dict):
+            raise ConfigError(f"expected mapping for {typ.__name__}, got {value!r}")
+        return _from_dict(typ, value)
+    if typ is float and isinstance(value, int):
+        return float(value)
+    if typ in (int, float, str, bool) and not isinstance(value, typ):
+        raise ConfigError(f"expected {typ.__name__}, got {value!r}")
+    return value
+
+
+def _from_dict(cls, d: Dict[str, Any]):
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    unknown = set(d) - set(fields)
+    if unknown:
+        raise ConfigError(
+            f"unknown key(s) {sorted(unknown)} for {cls.__name__}; "
+            f"valid keys: {sorted(fields)}"
+        )
+    kwargs = {}
+    import typing
+
+    hints = typing.get_type_hints(cls)
+    for name, value in d.items():
+        kwargs[name] = _coerce(value, hints[name])
+    return cls(**kwargs)
+
+
+def _setting_from_yaml(rows: Sequence[Any]) -> Tuple[BlockSetting, ...]:
+    out: List[BlockSetting] = []
+    for row in rows:
+        if isinstance(row, dict):
+            out.append(_from_dict(BlockSetting, row))
+        else:  # compact list form: [t, c, n, s, [ks...]]
+            t, c, n, s = row[:4]
+            ks = tuple(row[4]) if len(row) > 4 else (3, 5, 7)
+            out.append(BlockSetting(t=float(t), c=int(c), n=int(n), s=int(s), ks=ks))
+    return tuple(out)
+
+
+def load_config(path: str | pathlib.Path) -> ExperimentConfig:
+    """Load an experiment YAML into a validated ExperimentConfig."""
+    path = pathlib.Path(path)
+    with path.open() as f:
+        raw = yaml.safe_load(f) or {}
+    if not isinstance(raw, dict):
+        raise ConfigError(f"{path}: top level must be a mapping")
+    # `_base_` inheritance: load the base file first, deep-merge overrides.
+    base = raw.pop("_base_", None)
+    if base is not None:
+        base_cfg = _load_raw(path.parent / base)
+        raw = _deep_merge(base_cfg, raw)
+    return config_from_dict(raw)
+
+
+def _load_raw(path: pathlib.Path) -> Dict[str, Any]:
+    with path.open() as f:
+        raw = yaml.safe_load(f) or {}
+    base = raw.pop("_base_", None)
+    if base is not None:
+        raw = _deep_merge(_load_raw(path.parent / base), raw)
+    return raw
+
+
+def _deep_merge(base: Dict[str, Any], override: Dict[str, Any]) -> Dict[str, Any]:
+    out = dict(base)
+    for k, v in override.items():
+        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def config_from_dict(raw: Dict[str, Any]) -> ExperimentConfig:
+    raw = dict(raw)
+    model_raw = dict(raw.get("model", {}))
+    setting = model_raw.pop("inverted_residual_setting", None)
+    if setting is not None:
+        model_raw["inverted_residual_setting"] = None  # placeholder, set below
+    raw["model"] = model_raw
+    cfg = _from_dict(ExperimentConfig, raw)
+    if setting is not None:
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                cfg.model, inverted_residual_setting=_setting_from_yaml(setting)
+            ),
+        )
+    return cfg
+
+
+def config_to_dict(cfg: ExperimentConfig) -> Dict[str, Any]:
+    return dataclasses.asdict(cfg)
+
+
+def parse_argv_overrides(cfg: ExperimentConfig, overrides: Sequence[str]) -> ExperimentConfig:
+    """Apply ``section.key=value`` CLI overrides (e.g. ``optim.epochs=1``)."""
+    d = config_to_dict(cfg)
+    for ov in overrides:
+        if "=" not in ov:
+            raise ConfigError(f"override {ov!r} must be key=value")
+        key, value = ov.split("=", 1)
+        parts = key.split(".")
+        node = d
+        for p in parts[:-1]:
+            if p not in node:
+                raise ConfigError(f"unknown override section {p!r} in {ov!r}")
+            node = node[p]
+        leaf = parts[-1]
+        if leaf not in node:
+            raise ConfigError(f"unknown override key {leaf!r} in {ov!r}")
+        node[leaf] = yaml.safe_load(value)
+    # dataclasses.asdict turns BlockSettings into dicts; config_from_dict
+    # handles both dict and compact-list rows, so round-tripping is safe.
+    return config_from_dict(d)

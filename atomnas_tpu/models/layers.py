@@ -1,0 +1,211 @@
+"""Functional layer primitives: conv, batch-norm, activations, SE.
+
+Equivalent of the reference's mobilenet_base.py :: ConvBNReLU / Swish /
+SqueezeAndExcitation / get_active_fn (SURVEY.md sec 2.1 atomic-blocks row),
+as pure functions over explicit parameter pytrees.
+
+Batch-norm is *sync-BN by construction*: moments are plain ``jnp.mean`` over
+the batch/spatial axes, and under GSPMD with the batch sharded over the
+``data`` mesh axis XLA lowers that to a cross-replica reduction over ICI —
+no axis_name plumbing or NCCL-style wrapper needed (SURVEY.md sec 2.2 NCCL
+row prescribes exactly this).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+# ---------------------------------------------------------------------------
+# Activations
+# ---------------------------------------------------------------------------
+
+
+def relu6(x: jax.Array) -> jax.Array:
+    return jnp.clip(x, 0.0, 6.0)
+
+
+def swish(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(x)
+
+
+ACTIVATIONS = {"relu6": relu6, "swish": swish, "relu": jax.nn.relu}
+
+
+def get_active_fn(name: str):
+    try:
+        return ACTIVATIONS[name]
+    except KeyError:
+        raise ValueError(f"unknown activation {name!r}; have {sorted(ACTIVATIONS)}")
+
+
+# ---------------------------------------------------------------------------
+# Convolutions (NHWC; TPU-native layout)
+# ---------------------------------------------------------------------------
+
+_DIMNUMS = ("NHWC", "HWIO", "NHWC")
+
+
+def conv2d(x: jax.Array, w: jax.Array, stride: int = 1, groups: int = 1) -> jax.Array:
+    """Plain 2D conv, SAME padding, NHWC/HWIO."""
+    return jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding="SAME",
+        dimension_numbers=_DIMNUMS,
+        feature_group_count=groups,
+    )
+
+
+def conv1x1(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Pointwise conv as an einsum so XLA maps it straight onto the MXU.
+
+    ``w`` has shape (cin, cout); this is the fused form of the reference's
+    per-branch 1x1 convs (see supernet.py for the fusion rationale).
+    """
+    return jnp.einsum(
+        "nhwc,cd->nhwd",
+        x,
+        w.astype(x.dtype),
+        preferred_element_type=x.dtype,
+    )
+
+
+def depthwise_conv(x: jax.Array, w: jax.Array, stride: int = 1) -> jax.Array:
+    """Depthwise conv; ``w`` shape (k, k, 1, channels)."""
+    return jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding="SAME",
+        dimension_numbers=_DIMNUMS,
+        feature_group_count=x.shape[-1],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch normalization (functional, sync under GSPMD)
+# ---------------------------------------------------------------------------
+
+
+def batch_norm(
+    x: jax.Array,
+    params: Params,
+    stats: Params,
+    *,
+    training: bool,
+    momentum: float,
+    epsilon: float,
+) -> Tuple[jax.Array, Params]:
+    """BN over (N, H, W) per channel; stats kept in float32.
+
+    Torch-style running update: ``new = (1 - momentum) * old + momentum *
+    batch`` with *unbiased* batch variance for the running estimate and
+    biased variance for normalization (matches torch.nn.BatchNorm2d, which
+    the reference relies on for its gamma-threshold shrink dynamics).
+    """
+    scale = params["scale"].astype(jnp.float32)
+    bias = params["bias"].astype(jnp.float32)
+    x32 = x.astype(jnp.float32)
+    if training:
+        # Global (sync) moments: batch axis is sharded over the data mesh
+        # axis, so these means are cross-replica reductions under GSPMD.
+        mean = jnp.mean(x32, axis=(0, 1, 2))
+        var = jnp.mean(jnp.square(x32), axis=(0, 1, 2)) - jnp.square(mean)
+        var = jnp.maximum(var, 0.0)
+        n = x.shape[0] * x.shape[1] * x.shape[2]
+        unbiased = var * (n / max(n - 1, 1))
+        new_stats = {
+            "mean": (1 - momentum) * stats["mean"] + momentum * mean,
+            "var": (1 - momentum) * stats["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = stats["mean"], stats["var"]
+        new_stats = stats
+    inv = jax.lax.rsqrt(var + epsilon) * scale
+    y = (x32 - mean) * inv + bias
+    return y.astype(x.dtype), new_stats
+
+
+def bn_init(channels: int) -> Tuple[Params, Params]:
+    params = {
+        "scale": jnp.ones((channels,), jnp.float32),
+        "bias": jnp.zeros((channels,), jnp.float32),
+    }
+    stats = {
+        "mean": jnp.zeros((channels,), jnp.float32),
+        "var": jnp.ones((channels,), jnp.float32),
+    }
+    return params, stats
+
+
+# ---------------------------------------------------------------------------
+# Squeeze-and-Excitation (per kernel branch; + variants)
+# ---------------------------------------------------------------------------
+
+
+def squeeze_excite(x: jax.Array, params: Params, active_fn) -> jax.Array:
+    """SE gate on NHWC input (reference: mobilenet_base.py ::
+    SqueezeAndExcitation). GAP -> fc1 -> act -> fc2 -> sigmoid -> scale.
+
+    Channel-sliceable by construction: a zeroed input channel contributes 0
+    to GAP and through fc1 columns / fc2 rows, so masked atoms are exactly
+    equivalent to removed atoms (the re-slice invariance crux,
+    SURVEY.md sec 7 hard-part 1).
+    """
+    s = jnp.mean(x.astype(jnp.float32), axis=(1, 2))  # (N, C)
+    s = s @ params["w1"] + params["b1"]
+    s = active_fn(s)
+    s = s @ params["w2"] + params["b2"]
+    gate = jax.nn.sigmoid(s).astype(x.dtype)
+    return x * gate[:, None, None, :]
+
+
+def se_init(rng: jax.Array, channels: int, hidden: int) -> Params:
+    k1, k2 = jax.random.split(rng)
+    return {
+        "w1": _kaiming(k1, (channels, hidden), fan=channels),
+        "b1": jnp.zeros((hidden,), jnp.float32),
+        "w2": _kaiming(k2, (hidden, channels), fan=hidden),
+        "b2": jnp.zeros((channels,), jnp.float32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Initializers (torch MobileNetV2 conventions: kaiming fan_out for convs,
+# N(0, 0.01) for the classifier)
+# ---------------------------------------------------------------------------
+
+
+def _kaiming(rng: jax.Array, shape, fan: int) -> jax.Array:
+    std = (2.0 / fan) ** 0.5
+    return std * jax.random.normal(rng, shape, jnp.float32)
+
+
+def conv_init(rng: jax.Array, shape: Tuple[int, ...]) -> jax.Array:
+    """HWIO conv kernel, kaiming-normal with fan_out = kh*kw*cout."""
+    kh, kw, _, cout = shape
+    return _kaiming(rng, shape, fan=kh * kw * cout)
+
+
+def depthwise_init(rng: jax.Array, shape: Tuple[int, ...]) -> jax.Array:
+    kh, kw, _, _ = shape
+    # fan_out per group = kh*kw (one output channel per group)
+    return _kaiming(rng, shape, fan=kh * kw)
+
+
+def pointwise_init(rng: jax.Array, cin: int, cout: int) -> jax.Array:
+    """(cin, cout) matrix for conv1x1; fan_out = cout."""
+    return _kaiming(rng, (cin, cout), fan=cout)
+
+
+def linear_init(rng: jax.Array, cin: int, cout: int) -> Params:
+    return {
+        "w": 0.01 * jax.random.normal(rng, (cin, cout), jnp.float32),
+        "b": jnp.zeros((cout,), jnp.float32),
+    }

@@ -1,0 +1,241 @@
+"""The atomic supernet: functional forward + init over explicit pytrees.
+
+Re-implements the capability of the reference's
+``mobilenet_base.py :: InvertedResidualChannels`` +
+``mobilenet_v2.py :: Model`` (SURVEY.md sec 2.1, sec 3.2), re-designed for
+TPU/XLA:
+
+* **Fused branch pointwise convs.** The reference runs each kernel branch as
+  its own ``1x1 -> kxk dw -> 1x1`` module and sums branch outputs. Here the
+  three branches share ONE expand matmul ``(cin -> sum(hidden))`` and ONE
+  project matmul ``(sum(hidden) -> cout)`` over the concatenated hidden
+  channels — mathematically the same linear maps, but the MXU sees two large
+  matmuls per block instead of six small ones. Only the depthwise convs stay
+  per-kernel (they must: different receptive fields).
+* **One BN over the concatenated hidden** replaces the per-branch expand/dw
+  BNs (BN is per-channel, so concatenation is exact parity); the project BN
+  is applied after the summed projection rather than per-branch-then-sum.
+  This deviation makes "masked atom == removed atom" *exact* (a fully dead
+  branch in the reference still leaks its project-BN bias until the module is
+  deleted; here a dead atom contributes exactly 0).
+* **Static shapes + channel masks.** Atom death is a mask, not module
+  surgery; re-slicing to a compact ``ModelArch`` happens outside the step
+  (search/shrink.py) and is bit-equivalent (tested).
+* **Sync-BN for free** under GSPMD (layers.py :: batch_norm).
+
+Parameter pytree layout (all float32; compute in ``arch.compute_dtype``):
+
+  params = {
+    'stem': {'w': (3,3,3,S), 'bn': {scale,bias}},
+    'blocks': [ per block:
+        {'pw1': (cin, H), 'bn1': {..},          # only if expand
+         'dw': {'k3': (3,3,1,h3), 'k5': ..., 'k7': ...},
+         'bn2': {..},                            # gammas penalized by search
+         'se': {'k3': {w1,b1,w2,b2}, ...},       # only if se_ratio > 0
+         'pw2': (H, cout), 'bn3': {..}} ],
+    'head': {'w': (c_last, Hd), 'bn': {..}},
+    'classifier': {'w': (Hd, classes), 'b': (classes,)},
+  }
+  batch_stats mirrors every 'bn*' with {mean, var}.
+  masks = {'block_i': float32 (H_i,)} for every block (ones when unsearchable).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from atomnas_tpu.models import layers
+from atomnas_tpu.models.arch import BlockArch, ModelArch
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def init_params(rng: jax.Array, arch: ModelArch) -> Tuple[Params, Params]:
+    """Initialize (params, batch_stats) for an arch (supernet or slice)."""
+    n_blocks = arch.num_blocks
+    keys = jax.random.split(rng, n_blocks + 3)
+    stem_key, head_key, cls_key = keys[0], keys[1], keys[2]
+
+    params: Params = {}
+    stats: Params = {}
+
+    stem_bn, stem_bn_stats = layers.bn_init(arch.stem_channels)
+    params["stem"] = {
+        "w": layers.conv_init(stem_key, (3, 3, 3, arch.stem_channels)),
+        "bn": stem_bn,
+    }
+    stats["stem"] = {"bn": stem_bn_stats}
+
+    blocks = []
+    blocks_stats = []
+    for i, b in enumerate(arch.blocks):
+        p, s = _init_block(keys[3 + i], b)
+        blocks.append(p)
+        blocks_stats.append(s)
+    params["blocks"] = blocks
+    stats["blocks"] = blocks_stats
+
+    c_last = arch.blocks[-1].cout
+    head_bn, head_bn_stats = layers.bn_init(arch.head_channels)
+    params["head"] = {
+        "w": layers.pointwise_init(head_key, c_last, arch.head_channels),
+        "bn": head_bn,
+    }
+    stats["head"] = {"bn": head_bn_stats}
+    params["classifier"] = layers.linear_init(
+        cls_key, arch.head_channels, arch.num_classes
+    )
+    return params, stats
+
+
+def _init_block(rng: jax.Array, b: BlockArch) -> Tuple[Params, Params]:
+    n_branches = len(b.kernels)
+    keys = jax.random.split(rng, 2 + 2 * n_branches)
+    total = b.total_hidden
+    p: Params = {}
+    s: Params = {}
+    if b.expand:
+        p["pw1"] = layers.pointwise_init(keys[0], b.cin, total)
+        p["bn1"], s["bn1"] = layers.bn_init(total)
+    dw = {}
+    for j, (k, h) in enumerate(zip(b.kernels, b.hidden)):
+        dw[f"k{k}"] = layers.depthwise_init(keys[2 + j], (k, k, 1, h))
+    p["dw"] = dw
+    p["bn2"], s["bn2"] = layers.bn_init(total)
+    if b.se_ratio > 0:
+        se = {}
+        for j, (k, h, r) in enumerate(zip(b.kernels, b.hidden, b.se_hidden)):
+            se[f"k{k}"] = layers.se_init(keys[2 + n_branches + j], h, r)
+        p["se"] = se
+    p["pw2"] = layers.pointwise_init(keys[1], total, b.cout)
+    p["bn3"], s["bn3"] = layers.bn_init(b.cout)
+    return p, s
+
+
+def init_masks(arch: ModelArch) -> Dict[str, jax.Array]:
+    """All-alive masks for every block (shape = total hidden channels)."""
+    return {
+        f"block_{i}": jnp.ones((b.total_hidden,), jnp.float32)
+        for i, b in enumerate(arch.blocks)
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def forward(
+    params: Params,
+    batch_stats: Params,
+    masks: Dict[str, jax.Array],
+    x: jax.Array,
+    *,
+    arch: ModelArch,
+    training: bool,
+    rng: Optional[jax.Array] = None,
+    use_pallas: bool = False,
+) -> Tuple[jax.Array, Params]:
+    """Supernet forward. ``x`` is NHWC float; returns (logits, new_batch_stats)."""
+    act = layers.get_active_fn(arch.active_fn)
+    dtype = jnp.dtype(arch.compute_dtype)
+    bn_kw = dict(
+        training=training, momentum=arch.bn_momentum, epsilon=arch.bn_epsilon
+    )
+
+    x = x.astype(dtype)
+    new_stats: Params = {"blocks": []}
+
+    h = layers.conv2d(x, params["stem"]["w"], stride=2)
+    h, st = layers.batch_norm(h, params["stem"]["bn"], batch_stats["stem"]["bn"], **bn_kw)
+    new_stats["stem"] = {"bn": st}
+    h = act(h)
+
+    for i, b in enumerate(arch.blocks):
+        h, bst = _block_forward(
+            params["blocks"][i],
+            batch_stats["blocks"][i],
+            masks[f"block_{i}"],
+            h,
+            b,
+            act,
+            bn_kw,
+            use_pallas=use_pallas,
+        )
+        new_stats["blocks"].append(bst)
+
+    h = layers.conv1x1(h, params["head"]["w"])
+    h, st = layers.batch_norm(h, params["head"]["bn"], batch_stats["head"]["bn"], **bn_kw)
+    new_stats["head"] = {"bn": st}
+    h = act(h)
+
+    h = jnp.mean(h.astype(jnp.float32), axis=(1, 2))  # global average pool
+    if training and arch.dropout > 0:
+        if rng is None:
+            raise ValueError("training with dropout requires an rng")
+        keep = 1.0 - arch.dropout
+        mask = jax.random.bernoulli(rng, keep, h.shape)
+        h = jnp.where(mask, h / keep, 0.0)
+    logits = h @ params["classifier"]["w"] + params["classifier"]["b"]
+    return logits, new_stats
+
+
+def _block_forward(
+    p: Params,
+    s: Params,
+    mask: jax.Array,
+    x: jax.Array,
+    b: BlockArch,
+    act,
+    bn_kw,
+    *,
+    use_pallas: bool = False,
+) -> Tuple[jax.Array, Params]:
+    new_s: Params = {}
+    if b.expand:
+        h = layers.conv1x1(x, p["pw1"])
+        h, new_s["bn1"] = layers.batch_norm(h, p["bn1"], s["bn1"], **bn_kw)
+        h = act(h)
+    else:
+        h = x
+
+    # Per-kernel depthwise over static slices of the concatenated hidden.
+    parts = []
+    offs = b.splits
+    for j, k in enumerate(b.kernels):
+        sl = h[..., offs[j] : offs[j] + b.hidden[j]]
+        parts.append(layers.depthwise_conv(sl, p["dw"][f"k{k}"], stride=b.stride))
+    h = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+
+    h, new_s["bn2"] = layers.batch_norm(h, p["bn2"], s["bn2"], **bn_kw)
+    h = act(h)
+    # Atom mask: a dead atom contributes exactly 0 downstream (== removal).
+    h = h * mask.astype(h.dtype)
+
+    if b.se_ratio > 0:
+        gated = []
+        for j, k in enumerate(b.kernels):
+            sl = h[..., offs[j] : offs[j] + b.hidden[j]]
+            gated.append(layers.squeeze_excite(sl, p["se"][f"k{k}"], act))
+        h = gated[0] if len(gated) == 1 else jnp.concatenate(gated, axis=-1)
+
+    y = layers.conv1x1(h, p["pw2"])
+    y, new_s["bn3"] = layers.batch_norm(y, p["bn3"], s["bn3"], **bn_kw)
+
+    if b.residual:
+        if b.searchable:
+            # A fully dead residual block must be EXACTLY the identity
+            # (otherwise bn3's bias leaks; the reference has this leak until
+            # it deletes the module — we fix it so masked == re-sliced).
+            alive = (jnp.sum(mask) > 0).astype(y.dtype)
+            y = y * alive
+        y = y + x
+    return y, new_s

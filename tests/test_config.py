@@ -1,0 +1,73 @@
+import pathlib
+
+import pytest
+
+from atomnas_tpu.config import (
+    ConfigError,
+    ExperimentConfig,
+    load_config,
+    parse_argv_overrides,
+)
+
+CONFIGS = sorted((pathlib.Path(__file__).parent.parent / "configs").glob("*.yml"))
+
+
+@pytest.mark.parametrize("path", CONFIGS, ids=[p.stem for p in CONFIGS])
+def test_all_shipped_configs_load(path):
+    cfg = load_config(path)
+    assert isinstance(cfg, ExperimentConfig)
+    assert cfg.optim.epochs >= 1
+    assert cfg.data.batch_size >= 1
+
+
+def test_base_inheritance():
+    cfg = load_config(pathlib.Path(__file__).parent.parent / "configs/atomnas_c_plus.yml")
+    # overrides applied
+    assert cfg.model.active_fn == "swish"
+    assert cfg.model.se_ratio == 0.25
+    assert cfg.optim.epochs == 350
+    # inherited through two levels (atomnas_c.yml <- base.yml)
+    assert cfg.search.penalty == pytest.approx(1.8e-4)
+    assert cfg.optim.label_smoothing == pytest.approx(0.1)
+
+
+def test_unknown_key_rejected(tmp_path):
+    p = tmp_path / "bad.yml"
+    p.write_text("name: x\nmodel:\n  not_a_key: 1\n")
+    with pytest.raises(ConfigError, match="not_a_key"):
+        load_config(p)
+
+
+def test_type_mismatch_rejected(tmp_path):
+    p = tmp_path / "bad.yml"
+    p.write_text("name: x\noptim:\n  epochs: not_an_int\n")
+    with pytest.raises(ConfigError):
+        load_config(p)
+
+
+def test_cli_overrides():
+    cfg = ExperimentConfig()
+    cfg2 = parse_argv_overrides(cfg, ["optim.epochs=3", "model.se_ratio=0.25"])
+    assert cfg2.optim.epochs == 3
+    assert cfg2.model.se_ratio == 0.25
+    with pytest.raises(ConfigError):
+        parse_argv_overrides(cfg, ["optim.bogus=1"])
+
+
+def test_custom_setting_roundtrip(tmp_path):
+    p = tmp_path / "c.yml"
+    p.write_text(
+        "name: c\nmodel:\n  inverted_residual_setting:\n"
+        "    - [1, 16, 1, 1, [3]]\n"
+        "    - [6, 24, 2, 2, [3, 5, 7]]\n"
+    )
+    cfg = load_config(p)
+    setting = cfg.model.setting()
+    assert len(setting) == 2
+    assert setting[0].ks == (3,)
+    assert setting[1].ks == (3, 5, 7)
+    assert setting[1].t == 6.0
+    # overrides must survive the asdict round-trip with a custom setting
+    cfg2 = parse_argv_overrides(cfg, ["optim.epochs=7"])
+    assert cfg2.optim.epochs == 7
+    assert cfg2.model.setting() == setting
