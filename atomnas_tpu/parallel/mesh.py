@@ -1,0 +1,83 @@
+"""Device mesh + sharding layout.
+
+TPU-native replacement for the reference's distributed runtime
+(``utils/distributed.py :: init_dist`` / ``AllReduceDistributedDataParallel``
+over NCCL — SURVEY.md sec 2.4). There is no hand-written comm layer: the
+batch is sharded over the ``data`` mesh axis and every cross-replica
+reduction (gradients, BN moments, metric sums) is inserted by GSPMD and
+rides ICI. Gradient all-reduce falls out of jit-ing the global-batch loss;
+sync-BN falls out of computing moments over the sharded batch.
+
+A second ``model`` axis is supported (classifier/head kernels sharded on
+their output dim) — the reference is DP-only (SURVEY.md sec 2.3), the model
+axis simply demonstrates that the layout generalizes.
+
+Replica-consistent shrinkage (SURVEY.md sec 2.4 invariant): under JAX's
+single-controller model the masks are one logical (replicated) array, so the
+reference's "every rank computes the same mask" invariant holds by
+construction rather than by NCCL determinism.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from atomnas_tpu.config import MeshConfig
+
+
+def make_mesh(cfg: MeshConfig, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    model = max(cfg.model, 1)
+    data = cfg.data if cfg.data > 0 else n // model
+    if data * model != n:
+        raise ValueError(
+            f"mesh {data}x{model} does not tile {n} devices; "
+            f"set mesh.data/mesh.model to factor the device count"
+        )
+    arr = np.array(devices).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) dim split over data axis; feature dims replicated."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        parts.append(str(getattr(p, "key", getattr(p, "idx", p))))
+    return "/".join(parts)
+
+
+def param_shardings(mesh: Mesh, params: Dict[str, Any]):
+    """Replicate everything; when the mesh has a model axis, shard the wide
+    head/classifier kernels on their output dim over it."""
+    use_model = mesh.shape.get("model", 1) > 1
+
+    def decide(path, leaf):
+        s = _path_str(path)
+        if use_model and leaf.ndim == 2 and (
+            s == "head/w" or s == "classifier/w"
+        ):
+            return NamedSharding(mesh, P(None, "model"))
+        if use_model and s == "classifier/b":
+            return NamedSharding(mesh, P("model"))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(decide, params)
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, np.ndarray]):
+    """Host batch -> device arrays sharded over the data axis."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda a: jax.device_put(a, sh), batch)

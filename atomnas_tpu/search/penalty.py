@@ -1,0 +1,74 @@
+"""Resource-aware L1 penalty on depthwise-BN scales — the paper's core.
+
+Reference parity: ``utils/prune.py :: get_bn_to_prune`` + the ``rho *
+sum(w_i * |gamma_i|)`` loss term (SURVEY.md sec 2.1 shrinkage row, sec 3.2
+hot loop). Each atom's penalty weight is proportional to its FLOPs cost,
+normalized to mean 1 over all searchable atoms of the *supernet at init* —
+an atom's own cost never changes as other atoms die (it depends only on the
+block's fixed in/out channels), so the weights stay valid across shrinkage
+and only need re-indexing at re-slice time.
+
+Dead atoms are excluded via the mask so the penalty tracks live FLOPs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from atomnas_tpu.models.arch import ModelArch
+from atomnas_tpu.ops import flops as F
+
+Params = Dict[str, Any]
+
+
+def penalty_weights(
+    arch: ModelArch, input_size: int, normalizer: float | None = None
+) -> tuple[Dict[str, np.ndarray], float]:
+    """Per-atom penalty weights keyed like the mask pytree, and the
+    normalizer used (pass it back in after re-slicing so weights keep the
+    supernet-init normalization)."""
+    per_atom = F.atom_flops(arch, input_size)
+    searchable = [
+        per_atom[f"block_{i}"]
+        for i, b in enumerate(arch.blocks)
+        if b.searchable and b.total_hidden > 0
+    ]
+    if normalizer is None:
+        all_costs = np.concatenate(searchable) if searchable else np.ones((1,))
+        normalizer = float(all_costs.mean())
+    weights = {}
+    for i, b in enumerate(arch.blocks):
+        key = f"block_{i}"
+        if b.searchable:
+            weights[key] = (per_atom[key] / normalizer).astype(np.float32)
+        else:
+            weights[key] = np.zeros((b.total_hidden,), np.float32)
+    return weights, normalizer
+
+
+def penalty_term(
+    params: Params,
+    masks: Dict[str, jax.Array],
+    weights: Dict[str, jax.Array],
+    rho: float,
+) -> jax.Array:
+    """rho * sum_i w_i * |gamma_i| over live atoms (jit-compatible)."""
+    total = jnp.zeros((), jnp.float32)
+    for i, block in enumerate(params["blocks"]):
+        key = f"block_{i}"
+        gamma = block["bn2"]["scale"].astype(jnp.float32)
+        total = total + jnp.sum(weights[key] * masks[key] * jnp.abs(gamma))
+    return rho * total
+
+
+def gather_gammas(params: Params) -> Dict[str, jax.Array]:
+    """The penalized BN scales, keyed like masks (reference:
+    get_bn_to_prune)."""
+    return {
+        f"block_{i}": block["bn2"]["scale"]
+        for i, block in enumerate(params["blocks"])
+    }

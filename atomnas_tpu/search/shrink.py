@@ -1,0 +1,286 @@
+"""Dynamic shrinkage: mask updates + re-slice-and-recompile.
+
+Reference parity: ``train.py/prune.py :: shrink_model`` (SURVEY.md sec 3.3)
+— gather depthwise-BN gammas, threshold, structurally delete dead atoms from
+model + optimizer + EMA. The reference mutates nn.Module shapes mid-training;
+under XLA that would recompile every step, so shrinkage is split in two:
+
+1. ``update_masks`` — pure, jit-compatible, *monotone* (an atom never
+   resurrects): ``mask &= |gamma| >= threshold``. Runs every
+   ``shrink_interval_steps``. Masked atoms cost zero accuracy immediately but
+   still cost FLOPs.
+2. ``reslice`` — host-side, every N shrink events (and at final export):
+   materialize compact params/opt-state/EMA/stats at the new static shapes
+   and re-jit the step. Bit-equivalent to the masked supernet by
+   construction (tested in tests/test_shrink.py) because a masked atom
+   contributes exactly 0 (models/supernet.py).
+
+Replica consistency (reference invariant, SURVEY.md sec 2.4): masks are one
+logical replicated array under the single-controller mesh — consistent by
+construction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from atomnas_tpu.config import SearchConfig
+from atomnas_tpu.models.arch import BlockArch, ModelArch
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Mask update (inside-step, jit-compatible)
+# ---------------------------------------------------------------------------
+
+
+def update_masks(
+    params: Params,
+    masks: Dict[str, jax.Array],
+    arch: ModelArch,
+    cfg: SearchConfig,
+) -> Dict[str, jax.Array]:
+    """One shrink event: kill atoms whose |gamma| fell below the threshold.
+
+    Monotone: a dead atom stays dead. Non-residual blocks keep at least
+    ``cfg.min_atoms_nonresidual`` of their (still-alive) highest-|gamma|
+    atoms so the network never disconnects; residual blocks may die entirely
+    (they become exact identities).
+    """
+    new_masks = dict(masks)
+    for i, b in enumerate(arch.blocks):
+        if not b.searchable:
+            continue
+        key = f"block_{i}"
+        old = masks[key]
+        gamma = jnp.abs(params["blocks"][i]["bn2"]["scale"].astype(jnp.float32))
+        alive = old * (gamma >= cfg.prune_threshold).astype(old.dtype)
+        keep = 0 if b.residual else max(cfg.min_atoms_nonresidual, 0)
+        if keep > 0:
+            # force-keep the top-|gamma| previously-alive atoms if the
+            # threshold would drop the block below the floor
+            scores = gamma * old  # dead atoms score 0
+            _, top_idx = jax.lax.top_k(scores, keep)
+            forced = jnp.zeros_like(old).at[top_idx].set(1.0) * old
+            alive = jnp.where(jnp.sum(alive) >= keep, alive, jnp.maximum(alive, forced))
+        new_masks[key] = alive
+    return new_masks
+
+
+# ---------------------------------------------------------------------------
+# Re-slice (host-side, between compiles)
+# ---------------------------------------------------------------------------
+
+
+class ResliceResult(NamedTuple):
+    arch: ModelArch
+    params: Params
+    batch_stats: Params
+    masks: Dict[str, jax.Array]
+    ema_params: Params
+    block_index_map: List[int]  # old block index per new block
+
+
+def _keep_indices(mask: np.ndarray, b: BlockArch) -> List[np.ndarray]:
+    """Per-branch local indices of surviving atoms."""
+    offs = list(b.splits) + [b.total_hidden]
+    out = []
+    for j in range(len(b.kernels)):
+        seg = mask[offs[j] : offs[j + 1]]
+        out.append(np.nonzero(seg > 0.5)[0])
+    return out
+
+
+def _slice_block_params(p: Params, b: BlockArch, keeps: List[np.ndarray]) -> Params:
+    cat = np.concatenate(
+        [k + off for k, off in zip(keeps, b.splits)]
+    ).astype(np.int64)
+    out: Params = {}
+    if b.expand:
+        out["pw1"] = np.asarray(p["pw1"])[:, cat]
+        out["bn1"] = {k: np.asarray(v)[cat] for k, v in p["bn1"].items()}
+    out["dw"] = {
+        f"k{k}": np.asarray(p["dw"][f"k{k}"])[:, :, :, keeps[j]]
+        for j, k in enumerate(b.kernels)
+    }
+    out["bn2"] = {k: np.asarray(v)[cat] for k, v in p["bn2"].items()}
+    if b.se_ratio > 0:
+        out["se"] = {}
+        for j, k in enumerate(b.kernels):
+            se = p["se"][f"k{k}"]
+            out["se"][f"k{k}"] = {
+                "w1": np.asarray(se["w1"])[keeps[j], :],
+                "b1": np.asarray(se["b1"]),
+                "w2": np.asarray(se["w2"])[:, keeps[j]],
+                "b2": np.asarray(se["b2"])[keeps[j]],
+            }
+    out["pw2"] = np.asarray(p["pw2"])[cat, :]
+    out["bn3"] = {k: np.asarray(v) for k, v in p["bn3"].items()}
+    return out
+
+
+def _slice_block_stats(s: Params, b: BlockArch, keeps: List[np.ndarray]) -> Params:
+    cat = np.concatenate(
+        [k + off for k, off in zip(keeps, b.splits)]
+    ).astype(np.int64)
+    out: Params = {}
+    if b.expand:
+        out["bn1"] = {k: np.asarray(v)[cat] for k, v in s["bn1"].items()}
+    out["bn2"] = {k: np.asarray(v)[cat] for k, v in s["bn2"].items()}
+    out["bn3"] = {k: np.asarray(v) for k, v in s["bn3"].items()}
+    return out
+
+
+def reslice(
+    arch: ModelArch,
+    params: Params,
+    batch_stats: Params,
+    masks: Dict[str, jax.Array],
+    ema_params: Params,
+) -> ResliceResult:
+    """Materialize the compact network implied by the masks.
+
+    Returns new (arch, params, batch_stats, masks=all-ones, ema) with dead
+    atoms removed and fully-dead residual blocks dropped. The optimizer state
+    must be rebuilt/resliced separately (see ``reslice_params_like``) because
+    its structure depends on the optax chain.
+    """
+    params = jax.device_get(params)
+    batch_stats = jax.device_get(batch_stats)
+    ema_params = jax.device_get(ema_params)
+    masks_np = {k: np.asarray(v) for k, v in jax.device_get(masks).items()}
+
+    new_blocks: List[BlockArch] = []
+    new_bparams: List[Params] = []
+    new_bstats: List[Params] = []
+    new_bema: List[Params] = []
+    index_map: List[int] = []
+
+    for i, b in enumerate(arch.blocks):
+        mask = masks_np[f"block_{i}"]
+        if not b.searchable:
+            new_blocks.append(b)
+            new_bparams.append(params["blocks"][i])
+            new_bstats.append(batch_stats["blocks"][i])
+            new_bema.append(ema_params["blocks"][i])
+            index_map.append(i)
+            continue
+        keeps = _keep_indices(mask, b)
+        new_hidden = [len(k) for k in keeps]
+        if sum(new_hidden) == 0:
+            if b.residual:
+                continue  # exact identity: drop the block entirely
+            raise ValueError(
+                f"non-residual block {i} lost all atoms; "
+                "min_atoms_nonresidual should prevent this"
+            )
+        # drop empty kernel branches
+        live = [j for j, h in enumerate(new_hidden) if h > 0]
+        nb = dataclasses.replace(
+            b,
+            kernels=tuple(b.kernels[j] for j in live),
+            hidden=tuple(new_hidden[j] for j in live),
+            se_hidden=tuple(b.se_hidden[j] for j in live) if b.se_hidden else (),
+        )
+        keeps_live = [keeps[j] for j in live]
+        # params/ema/stats sliced with the ORIGINAL branch layout, then
+        # reassembled under the new kernel tuple
+        bp = _slice_block_params(params["blocks"][i], b, keeps)
+        be = _slice_block_params(ema_params["blocks"][i], b, keeps)
+        bs = _slice_block_stats(batch_stats["blocks"][i], b, keeps)
+        # remove empty-branch dw/se entries
+        for j, k in enumerate(b.kernels):
+            if j not in live:
+                bp["dw"].pop(f"k{k}")
+                be["dw"].pop(f"k{k}")
+                if b.se_ratio > 0:
+                    bp["se"].pop(f"k{k}")
+                    be["se"].pop(f"k{k}")
+        new_blocks.append(nb)
+        new_bparams.append(bp)
+        new_bstats.append(bs)
+        new_bema.append(be)
+        index_map.append(i)
+
+    new_arch = dataclasses.replace(arch, blocks=tuple(new_blocks))
+    new_params = dict(params)
+    new_params["blocks"] = new_bparams
+    new_stats = dict(batch_stats)
+    new_stats["blocks"] = new_bstats
+    new_ema = dict(ema_params)
+    new_ema["blocks"] = new_bema
+    new_masks = {
+        f"block_{i}": jnp.ones((b.total_hidden,), jnp.float32)
+        for i, b in enumerate(new_arch.blocks)
+    }
+    to_jnp = lambda t: jax.tree.map(jnp.asarray, t)
+    return ResliceResult(
+        arch=new_arch,
+        params=to_jnp(new_params),
+        batch_stats=to_jnp(new_stats),
+        masks=new_masks,
+        ema_params=to_jnp(new_ema),
+        block_index_map=index_map,
+    )
+
+
+def reslice_params_like(
+    tree: Params,
+    old_arch: ModelArch,
+    masks: Dict[str, jax.Array],
+    block_index_map: List[int],
+) -> Params:
+    """Apply the same slicing to any params-shaped pytree (e.g. the momentum
+    buffers inside an optax state). Reference analogue: rebuilding optimizer
+    param groups + momentum after shrink (SURVEY.md sec 3.3), where silent
+    misalignment 'destroys accuracy invisibly' — here it is one shared
+    slicing routine for params, EMA and momentum."""
+    tree = jax.device_get(tree)
+    masks_np = {k: np.asarray(v) for k, v in jax.device_get(masks).items()}
+    new_blocks = []
+    for new_i, old_i in enumerate(block_index_map):
+        b = old_arch.blocks[old_i]
+        if not b.searchable:
+            new_blocks.append(tree["blocks"][old_i])
+            continue
+        keeps = _keep_indices(masks_np[f"block_{old_i}"], b)
+        bp = _slice_block_params(tree["blocks"][old_i], b, keeps)
+        for j, k in enumerate(b.kernels):
+            if len(keeps[j]) == 0:
+                bp["dw"].pop(f"k{k}", None)
+                if b.se_ratio > 0 and "se" in bp:
+                    bp["se"].pop(f"k{k}", None)
+        new_blocks.append(bp)
+    out = dict(tree)
+    out["blocks"] = new_blocks
+    return jax.tree.map(jnp.asarray, out)
+
+
+def reslice_opt_state(opt_state, old_arch, masks, block_index_map):
+    """Re-slice every params-shaped subtree inside an optax state.
+
+    Walks the (nested namedtuple/tuple) optax state and rebuilds any node
+    that looks like our params pytree ({'stem','blocks','head','classifier'}).
+    """
+
+    def looks_like_params(node) -> bool:
+        return isinstance(node, dict) and {"stem", "blocks", "head"} <= set(node)
+
+    def rec(node):
+        if looks_like_params(node):
+            return reslice_params_like(node, old_arch, masks, block_index_map)
+        if isinstance(node, tuple) and hasattr(node, "_fields"):  # namedtuple
+            return type(node)(*(rec(x) for x in node))
+        if isinstance(node, tuple):
+            return tuple(rec(x) for x in node)
+        if isinstance(node, list):
+            return [rec(x) for x in node]
+        return node
+
+    return rec(opt_state)

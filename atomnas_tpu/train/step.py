@@ -1,0 +1,156 @@
+"""The jitted train/eval step functions (the hot loop).
+
+Reference parity: ``train.py :: run_one_epoch / forward_loss`` (SURVEY.md
+sec 3.2) — forward, label-smoothed CE, resource-aware L1 penalty, backward,
+all-reduce, SGD+momentum, EMA update — except there is no explicit
+all-reduce: the step is jitted over the device mesh with the batch sharded
+on the ``data`` axis, and GSPMD inserts gradient/BN-moment reductions.
+
+Mixup (reference: DALI pipeline option; BASELINE.json mandates it fused)
+runs on device inside the step: batch-reversal pairing, one Beta-sampled
+lambda per batch. Metrics are returned as sums/scalars; live FLOPs of the
+current masks are tracked every step for free (ops/flops.py :: live_flops).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from atomnas_tpu.config import DataConfig, OptimConfig, SearchConfig
+from atomnas_tpu.models.arch import ModelArch
+from atomnas_tpu.models.supernet import forward
+from atomnas_tpu.ops import flops as F
+from atomnas_tpu.search.penalty import penalty_term
+from atomnas_tpu.train import losses
+from atomnas_tpu.train.optim import ema_update
+from atomnas_tpu.train.state import TrainState
+
+
+def mixup(
+    rng: jax.Array, images: jax.Array, targets: jax.Array, alpha: float
+) -> Tuple[jax.Array, jax.Array]:
+    """Batch-reversal mixup with a single Beta(alpha, alpha) lambda.
+
+    Pairing each example with its batch-reversed partner keeps the op local
+    and layout-friendly under GSPMD (a reverse is a cheap permute), unlike a
+    random gather.
+    """
+    lam = jax.random.beta(rng, alpha, alpha, dtype=jnp.float32)
+    lam = jnp.maximum(lam, 1.0 - lam)  # keep the primary label dominant
+    mixed = lam * images.astype(jnp.float32) + (1.0 - lam) * jnp.flip(
+        images.astype(jnp.float32), axis=0
+    )
+    t = lam * targets + (1.0 - lam) * jnp.flip(targets, axis=0)
+    return mixed.astype(images.dtype), t
+
+
+def make_train_step(
+    arch: ModelArch,
+    ocfg: OptimConfig,
+    scfg: SearchConfig,
+    dcfg: DataConfig,
+    tx: optax.GradientTransformation,
+    schedule: Callable,
+    pen_weights: Dict[str, jnp.ndarray],
+    input_size: int,
+) -> Callable:
+    """Build the pure train-step fn for a given (static) arch."""
+    atom_costs = {k: jnp.asarray(v) for k, v in F.atom_flops(arch, input_size).items()}
+    const_fl = F.constant_flops(arch, input_size)
+    pen_w = {k: jnp.asarray(v) for k, v in pen_weights.items()}
+    search_on = scfg.enabled and scfg.penalty > 0
+
+    def train_step(
+        state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array
+    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        step_rng = jax.random.fold_in(rng, state.step)
+        drop_rng, mix_rng = jax.random.split(step_rng)
+
+        images = batch["image"]
+        labels = batch["label"]
+        targets = losses.smooth_labels(labels, arch.num_classes, ocfg.label_smoothing)
+        if dcfg.mixup_alpha > 0:
+            images, targets = mixup(mix_rng, images, targets, dcfg.mixup_alpha)
+
+        def loss_fn(params):
+            logits, new_stats = forward(
+                params,
+                state.batch_stats,
+                state.masks,
+                images,
+                arch=arch,
+                training=True,
+                rng=drop_rng,
+            )
+            ce = losses.cross_entropy(logits, targets)
+            if search_on:
+                pen = penalty_term(params, state.masks, pen_w, scfg.penalty)
+            else:
+                pen = jnp.zeros((), jnp.float32)
+            return ce + pen, (new_stats, logits, ce, pen)
+
+        (loss, (new_stats, logits, ce, pen)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        if ocfg.ema_decay > 0:
+            # warm up the EMA: effective decay ramps like min(d, (1+t)/(10+t))
+            t = state.step.astype(jnp.float32)
+            decay = jnp.minimum(ocfg.ema_decay, (1.0 + t) / (10.0 + t))
+            new_ema = ema_update(state.ema_params, new_params, decay)
+        else:
+            new_ema = new_params
+
+        n = jnp.asarray(labels.shape[0], jnp.float32)
+        metrics = {
+            "loss": loss,
+            "ce": ce,
+            "penalty": pen,
+            "top1": losses.top_k_correct(logits, labels, 1) / n,
+            "lr": schedule(state.step),
+            "live_mflops": F.live_flops(atom_costs, const_fl, state.masks) / 1e6,
+            "live_atoms": sum(m.sum() for m in state.masks.values()),
+        }
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+            ema_params=new_ema,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(arch: ModelArch) -> Callable:
+    """Eval step: top-1/top-5 correct counts over (possibly padded) batches."""
+
+    def eval_step(
+        params, batch_stats, masks, batch: Dict[str, jax.Array]
+    ) -> Dict[str, jax.Array]:
+        logits, _ = forward(
+            params, batch_stats, masks, batch["image"], arch=arch, training=False
+        )
+        labels = batch["label"]
+        valid = batch.get("valid")
+        if valid is None:
+            valid = jnp.ones_like(labels, jnp.float32)
+        return {
+            "correct1": losses.top_k_correct(logits, labels, 1, valid),
+            "correct5": losses.top_k_correct(logits, labels, 5, valid),
+            "count": jnp.sum(valid.astype(jnp.float32)),
+            "sum_ce": losses.cross_entropy(
+                logits, losses.smooth_labels(labels, arch.num_classes, 0.0)
+            )
+            * jnp.sum(valid.astype(jnp.float32)),
+        }
+
+    return eval_step

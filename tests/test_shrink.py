@@ -1,0 +1,234 @@
+"""Shrinkage correctness: mask semantics, monotonicity, and the re-slice
+logits-equivalence crux (SURVEY.md sec 4 prescription + sec 7 hard-part 1)."""
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from atomnas_tpu.config import (
+    BlockSetting,
+    DataConfig,
+    ModelConfig,
+    OptimConfig,
+    SearchConfig,
+)
+from atomnas_tpu.models import forward, init_masks, init_params, supernet_arch
+from atomnas_tpu.ops import flops as F
+from atomnas_tpu.search import shrink
+from atomnas_tpu.search.penalty import penalty_weights
+from atomnas_tpu.train import lr as lrlib
+from atomnas_tpu.train.optim import make_optimizer
+from atomnas_tpu.train.state import create_train_state
+from atomnas_tpu.train.step import make_train_step
+
+TINY_SETTING = (
+    BlockSetting(t=1, c=8, n=1, s=1, ks=(3,)),
+    BlockSetting(t=2, c=16, n=2, s=2),
+    BlockSetting(t=2, c=24, n=1, s=2),
+)
+
+
+def build(se=0.0):
+    mcfg = ModelConfig(
+        num_classes=10, input_size=16, stem_channels=8, head_channels=32,
+        compute_dtype="float32", dropout=0.0, se_ratio=se,
+        active_fn="swish" if se else "relu6",
+        inverted_residual_setting=TINY_SETTING,
+    )
+    arch = supernet_arch(mcfg)
+    params, stats = init_params(jax.random.key(0), arch)
+    masks = init_masks(arch)
+    return mcfg, arch, params, stats, masks
+
+
+def scatter_gammas(params, key=1, scale=0.2):
+    """Randomize bn2 gammas so thresholding kills a nontrivial subset."""
+    params = jax.device_get(params)
+    rng = np.random.RandomState(key)
+    for i, b in enumerate(params["blocks"]):
+        g = rng.uniform(0, scale, size=np.asarray(b["bn2"]["scale"]).shape)
+        params["blocks"][i]["bn2"]["scale"] = jnp.asarray(g, jnp.float32)
+    return jax.tree.map(jnp.asarray, params)
+
+
+def test_update_masks_threshold_and_monotone():
+    _, arch, params, stats, masks = build()
+    params = scatter_gammas(params)
+    cfg = SearchConfig(prune_threshold=0.1, min_atoms_nonresidual=1)
+    m1 = shrink.update_masks(params, masks, arch, cfg)
+    # block 0 is unsearchable: untouched
+    np.testing.assert_array_equal(np.asarray(m1["block_0"]), 1.0)
+    g = np.abs(np.asarray(params["blocks"][1]["bn2"]["scale"]))
+    np.testing.assert_array_equal(
+        np.asarray(m1["block_1"]), (g >= 0.1).astype(np.float32)
+    )
+    # monotone: raising gammas back does not resurrect
+    params2 = jax.device_get(params)
+    params2["blocks"][1]["bn2"]["scale"] = jnp.ones_like(
+        params2["blocks"][1]["bn2"]["scale"]
+    )
+    params2 = jax.tree.map(jnp.asarray, params2)
+    m2 = shrink.update_masks(params2, m1, arch, cfg)
+    assert np.all(np.asarray(m2["block_1"]) <= np.asarray(m1["block_1"]))
+
+
+def test_update_masks_min_atoms_floor():
+    _, arch, params, stats, masks = build()
+    # all gammas below threshold => non-residual blocks keep top-k atoms
+    params = jax.device_get(params)
+    for i in range(len(params["blocks"])):
+        n = np.asarray(params["blocks"][i]["bn2"]["scale"]).shape[0]
+        params["blocks"][i]["bn2"]["scale"] = jnp.asarray(
+            np.linspace(1e-5, 1e-4, n), jnp.float32
+        )
+    params = jax.tree.map(jnp.asarray, params)
+    cfg = SearchConfig(prune_threshold=0.5, min_atoms_nonresidual=2)
+    m = shrink.update_masks(params, masks, arch, cfg)
+    for i, b in enumerate(arch.blocks):
+        if not b.searchable:
+            continue
+        alive = float(np.asarray(m[f"block_{i}"]).sum())
+        if b.residual:
+            assert alive == 0.0
+        else:
+            assert alive == 2.0
+            # the survivors are the highest-gamma atoms
+            assert np.asarray(m[f"block_{i}"])[-2:].sum() == 2.0
+
+
+@pytest.mark.parametrize("se", [0.0, 0.25], ids=["plain", "se"])
+def test_reslice_logits_equivalence(se):
+    """THE crux: masked supernet and re-sliced compact net must produce
+    identical logits (eval mode, same inputs)."""
+    mcfg, arch, params, stats, masks = build(se=se)
+    params = scatter_gammas(params, key=3)
+    cfg = SearchConfig(prune_threshold=0.12, min_atoms_nonresidual=1)
+    masks = shrink.update_masks(params, masks, arch, cfg)
+    killed = sum(
+        float((1 - np.asarray(m)).sum()) for m in jax.device_get(masks).values()
+    )
+    assert killed > 10  # the test is vacuous if nothing died
+
+    x = jax.random.normal(jax.random.key(5), (4, 16, 16, 3))
+    masked_logits, _ = forward(params, stats, masks, x, arch=arch, training=False)
+
+    res = shrink.reslice(arch, params, stats, masks, params)
+    assert res.arch.live_atoms() < arch.live_atoms()
+    compact_logits, _ = forward(
+        res.params, res.batch_stats, res.masks, x, arch=res.arch, training=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(masked_logits), np.asarray(compact_logits), rtol=1e-5, atol=1e-5
+    )
+    # FLOPs accounting agrees: masked supernet == resliced compact net
+    assert F.model_flops(arch, 16, jax.device_get(masks)) == pytest.approx(
+        F.model_flops(res.arch, 16), rel=1e-9
+    )
+
+
+def test_reslice_drops_dead_residual_block():
+    mcfg, arch, params, stats, masks = build()
+    m = dict(masks)
+    # block 2 is the residual repeat: kill it entirely
+    m["block_2"] = jnp.zeros_like(m["block_2"])
+    x = jax.random.normal(jax.random.key(6), (2, 16, 16, 3))
+    masked_logits, _ = forward(params, stats, m, x, arch=arch, training=False)
+    res = shrink.reslice(arch, params, stats, m, params)
+    assert res.arch.num_blocks == arch.num_blocks - 1
+    compact_logits, _ = forward(
+        res.params, res.batch_stats, res.masks, x, arch=res.arch, training=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(masked_logits), np.asarray(compact_logits), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_reslice_drops_empty_branch():
+    mcfg, arch, params, stats, masks = build()
+    b1 = arch.blocks[1]
+    m = dict(masks)
+    arr = np.asarray(m["block_1"]).copy()
+    arr[: b1.hidden[0]] = 0.0  # kill the whole 3x3 branch
+    m["block_1"] = jnp.asarray(arr)
+    res = shrink.reslice(arch, params, stats, m, params)
+    nb = res.arch.blocks[1]
+    assert nb.kernels == (5, 7)
+    assert "k3" not in res.params["blocks"][1]["dw"]
+    x = jax.random.normal(jax.random.key(8), (2, 16, 16, 3))
+    a, _ = forward(params, stats, m, x, arch=arch, training=False)
+    b, _ = forward(res.params, res.batch_stats, res.masks, x, arch=res.arch, training=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_training_continues_after_reslice_with_momentum():
+    """Optimizer momentum must be re-sliced alongside params: train a few
+    steps, shrink, re-slice everything, keep training — loss stays finite
+    and decreasing on the fixed batch."""
+    mcfg = ModelConfig(
+        num_classes=10, input_size=16, stem_channels=8, head_channels=32,
+        compute_dtype="float32", dropout=0.0,
+        inverted_residual_setting=TINY_SETTING,
+    )
+    ocfg = OptimConfig(base_lr=0.05, base_batch=16, warmup_epochs=0.0, ema_decay=0.99)
+    scfg = SearchConfig(enabled=True, penalty=5e-3, prune_threshold=0.2,
+                        min_atoms_nonresidual=1)
+    dcfg = DataConfig(num_classes=10, image_size=16, batch_size=16)
+    arch = supernet_arch(mcfg)
+    params, stats = init_params(jax.random.key(0), arch)
+    params = scatter_gammas(params, key=9, scale=1.0)
+    masks = init_masks(arch)
+    sched = lrlib.make_schedule(ocfg, 16, 100, 10)
+    tx = make_optimizer(ocfg, sched)
+    state = create_train_state(params, stats, masks, tx)
+    pw, norm = penalty_weights(arch, 16)
+    step = jax.jit(make_train_step(arch, ocfg, scfg, dcfg, tx, sched, pw, 16))
+
+    batch = {
+        "image": jax.random.normal(jax.random.key(1), (16, 16, 16, 3)),
+        "label": jax.random.randint(jax.random.key(2), (16,), 0, 10),
+    }
+    rng = jax.random.key(3)
+    for _ in range(5):
+        state, metrics = step(state, batch, rng)
+
+    new_masks = shrink.update_masks(state.params, state.masks, arch, scfg)
+    state = state.replace(masks=new_masks)
+    state, m_masked = step(state, batch, rng)
+
+    res = shrink.reslice(arch, state.params, state.batch_stats, state.masks,
+                         state.ema_params)
+    new_opt = shrink.reslice_opt_state(state.opt_state, arch, state.masks,
+                                       res.block_index_map)
+    # momentum buffers got the same slicing as params
+    import optax
+
+    def find_trace(s):
+        if isinstance(s, optax.TraceState):
+            return s.trace
+        if isinstance(s, tuple):
+            for x in s:
+                r = find_trace(x)
+                if r is not None:
+                    return r
+        return None
+
+    tr = find_trace(new_opt)
+    assert tr is not None
+    assert tr["blocks"][1]["pw2"].shape == res.params["blocks"][1]["pw2"].shape
+
+    state2 = state.replace(
+        params=res.params, batch_stats=res.batch_stats, masks=res.masks,
+        ema_params=res.ema_params, opt_state=new_opt,
+    )
+    pw2, _ = penalty_weights(res.arch, 16, normalizer=norm)
+    step2 = jax.jit(make_train_step(res.arch, ocfg, scfg, dcfg, tx, sched, pw2, 16))
+    ls = []
+    for _ in range(5):
+        state2, metrics2 = step2(state2, batch, rng)
+        ls.append(float(metrics2["ce"]))
+    assert np.all(np.isfinite(ls))
+    assert float(metrics2["live_mflops"]) <= float(m_masked["live_mflops"]) + 1e-6
