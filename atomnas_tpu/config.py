@@ -155,6 +155,11 @@ class RunConfig:
     num_train_steps: int = 0  # 0 -> derived from epochs * steps_per_epoch
     profile: bool = False  # capture a jax.profiler trace of a few hot steps
     use_pallas: bool = False  # enable Pallas fused kernels (XLA fallback off)
+    # force a JAX platform ("cpu"/"tpu"); empty = environment default. Needed
+    # because this container's sitecustomize pins JAX_PLATFORMS to the TPU.
+    platform: str = ""
+    # with platform=cpu: fake device count for mesh tests (0 = leave alone)
+    host_device_count: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

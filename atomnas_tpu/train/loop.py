@@ -1,0 +1,336 @@
+"""The experiment driver: config -> trained (and searched) model.
+
+Reference parity: ``train.py :: main / train_val_test / run_one_epoch``
+(SURVEY.md sec 2.1 driver row, sec 3.1): mesh init -> model build -> profile
+-> data -> optimizer/EMA -> step loop with L1 penalty -> periodic shrink ->
+validate (EMA weights) -> checkpoint; plus the ``test_only`` eval path.
+
+Differences by design:
+* shrinkage = in-jit mask updates + periodic host-side re-slice-and-recompile
+  (search/shrink.py), with a logits-equivalence check logged at every
+  re-slice;
+* no DDP wrapper / rank plumbing — the step is jitted over the mesh and the
+  whole loop is single-controller;
+* checkpoints store the arch descriptor and resume rebuilds the (possibly
+  shrunk) static shapes first (utils/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+import time
+from typing import Any, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from atomnas_tpu.config import ExperimentConfig
+from atomnas_tpu.data import pipeline
+from atomnas_tpu.models.arch import ModelArch, arch_summary
+from atomnas_tpu.models.supernet import forward, init_masks, init_params
+from atomnas_tpu.ops import flops as F
+from atomnas_tpu.parallel import mesh as meshlib
+from atomnas_tpu.search import shrink as shrinklib
+from atomnas_tpu.search.penalty import penalty_weights
+from atomnas_tpu.train import lr as lrlib
+from atomnas_tpu.train.optim import make_optimizer
+from atomnas_tpu.train.state import TrainState, create_train_state
+from atomnas_tpu.train.step import make_eval_step, make_train_step
+from atomnas_tpu.utils import checkpoint as ckptlib
+from atomnas_tpu.utils.common import set_random_seed
+from atomnas_tpu.utils.logging import (
+    AverageMeter,
+    MetricWriter,
+    ThroughputMeter,
+    setup_logging,
+)
+
+
+class Experiment:
+    """Owns the mutable training session (arch can change at re-slice)."""
+
+    def __init__(self, cfg: ExperimentConfig):
+        self.cfg = cfg
+        self.log = setup_logging(cfg.run.log_dir)
+        self.writer = MetricWriter(cfg.run.log_dir)
+        set_random_seed(cfg.run.seed)
+
+        self.mesh = meshlib.make_mesh(cfg.mesh)
+        self.steps_per_epoch = pipeline.steps_per_epoch(cfg.data)
+        self.total_steps = cfg.run.num_train_steps or (
+            cfg.optim.epochs * self.steps_per_epoch
+        )
+        self.schedule = lrlib.make_schedule(
+            cfg.optim, cfg.data.batch_size, self.total_steps, self.steps_per_epoch
+        )
+        self.tx = make_optimizer(cfg.optim, self.schedule)
+        self.ckpt_dir = pathlib.Path(cfg.run.log_dir) / "checkpoints"
+
+        self._init_model()
+        self._build_steps()
+
+    # -- model/session construction -----------------------------------------
+
+    def _init_model(self) -> None:
+        cfg = self.cfg
+        from atomnas_tpu.models.arch import supernet_arch
+
+        restore_from = None
+        if cfg.run.pretrained:
+            restore_from = pathlib.Path(cfg.run.pretrained)
+        elif cfg.run.resume and ckptlib.latest_step(self.ckpt_dir) is not None:
+            restore_from = self.ckpt_dir
+
+        if restore_from is not None:
+            state, arch, meta = ckptlib.restore_checkpoint(restore_from, self.tx)
+            self.arch, self.state = arch, state
+            self.normalizer = float(meta["normalizer"])
+            self.shrink_events = int(meta.get("shrink_events", 0))
+            self.log.info(
+                "restored step %d (shrink_events=%d) from %s",
+                int(state.step), self.shrink_events, restore_from,
+            )
+        else:
+            self.arch = supernet_arch(cfg.model)
+            params, stats = init_params(jax.random.key(cfg.run.seed), self.arch)
+            masks = init_masks(self.arch)
+            self.state = create_train_state(params, stats, masks, self.tx)
+            _, self.normalizer = penalty_weights(self.arch, cfg.model.input_size)
+            self.shrink_events = 0
+        self.state = jax.device_put(self.state, meshlib.replicated(self.mesh))
+        self.log.info("arch:\n%s", arch_summary(self.arch))
+        self.log.info(
+            "model: %.2f MFLOPs, %.3f M params (live)",
+            F.model_flops(self.arch, cfg.model.input_size, jax.device_get(self.state.masks)) / 1e6,
+            F.model_params(self.arch, jax.device_get(self.state.masks)) / 1e6,
+        )
+
+    def _build_steps(self) -> None:
+        cfg = self.cfg
+        pw, _ = penalty_weights(
+            self.arch, cfg.model.input_size, normalizer=self.normalizer
+        )
+        self._train_step = jax.jit(
+            make_train_step(
+                self.arch, cfg.optim, cfg.search, cfg.data,
+                self.tx, self.schedule, pw, cfg.model.input_size,
+            ),
+            donate_argnums=0,
+        )
+        self._eval_step = jax.jit(make_eval_step(self.arch, cfg.data))
+
+    # -- shrinkage -----------------------------------------------------------
+
+    def _shrink_event(self, step: int) -> None:
+        cfg = self.cfg
+        new_masks = shrinklib.update_masks(
+            self.state.params, self.state.masks, self.arch, cfg.search
+        )
+        self.state = self.state.replace(
+            masks=new_masks, shrink_events=self.state.shrink_events + 1
+        )
+        self.shrink_events += 1
+        masks_host = jax.device_get(new_masks)
+        live_fl = F.model_flops(self.arch, cfg.model.input_size, masks_host)
+        alive = int(sum(m.sum() for m in masks_host.values()))
+        self.log.info(
+            "shrink event %d @ step %d: %d atoms alive, %.2f MFLOPs (budget %.0f)",
+            self.shrink_events, step, alive, live_fl / 1e6,
+            cfg.search.flops_budget / 1e6,
+        )
+        self.writer.dump_arch(
+            step, self.arch.to_json(),
+            {"alive_atoms": alive, "live_mflops": live_fl / 1e6},
+        )
+        if (
+            cfg.search.reslice_every_events > 0
+            and self.shrink_events % cfg.search.reslice_every_events == 0
+        ):
+            self._reslice(step)
+
+    def _reslice(self, step: int) -> None:
+        cfg = self.cfg
+        t0 = time.perf_counter()
+        # equivalence probe input (shared across old/new nets)
+        probe = jnp.asarray(
+            np.random.RandomState(0).rand(
+                2, cfg.model.input_size, cfg.model.input_size, 3
+            ),
+            jnp.float32,
+        )
+        old_logits, _ = jax.jit(
+            lambda p, s, m, x: forward(p, s, m, x, arch=self.arch, training=False)
+        )(self.state.params, self.state.batch_stats, self.state.masks, probe)
+
+        res = shrinklib.reslice(
+            self.arch, self.state.params, self.state.batch_stats,
+            self.state.masks, self.state.ema_params,
+        )
+        new_opt = shrinklib.reslice_opt_state(
+            jax.device_get(self.state.opt_state), self.arch, self.state.masks,
+            res.block_index_map,
+        )
+        new_logits, _ = jax.jit(
+            lambda p, s, m, x: forward(p, s, m, x, arch=res.arch, training=False)
+        )(res.params, res.batch_stats, res.masks, probe)
+        max_diff = float(jnp.max(jnp.abs(old_logits - new_logits)))
+
+        self.arch = res.arch
+        self.state = self.state.replace(
+            params=res.params, batch_stats=res.batch_stats, masks=res.masks,
+            ema_params=res.ema_params, opt_state=new_opt,
+        )
+        self.state = jax.device_put(self.state, meshlib.replicated(self.mesh))
+        self._build_steps()
+        self.log.info(
+            "re-slice @ step %d: %d blocks, %d atoms, %.2f MFLOPs, "
+            "logit max|diff|=%.2e, took %.1fs (recompile on next step)",
+            step, self.arch.num_blocks, self.arch.live_atoms(),
+            F.model_flops(self.arch, cfg.model.input_size) / 1e6,
+            max_diff, time.perf_counter() - t0,
+        )
+        if max_diff > 1e-3:
+            raise RuntimeError(
+                f"re-slice equivalence violated: max logit diff {max_diff}"
+            )
+
+    # -- eval ----------------------------------------------------------------
+
+    def evaluate(self, use_ema: bool = True) -> Dict[str, float]:
+        eval_iter_fn = pipeline.make_eval_iter(self.cfg.data)
+        params = self.state.ema_params if use_ema else self.state.params
+        totals = {"correct1": 0.0, "correct5": 0.0, "count": 0.0, "sum_ce": 0.0}
+        sh = meshlib.batch_sharding(self.mesh)
+        for batch in eval_iter_fn():
+            batch = jax.tree.map(lambda a: jax.device_put(a, sh), batch)
+            out = self._eval_step(params, self.state.batch_stats, self.state.masks, batch)
+            for k in totals:
+                totals[k] += float(out[k])
+        n = max(totals["count"], 1.0)
+        return {
+            "top1": totals["correct1"] / n,
+            "top5": totals["correct5"] / n,
+            "eval_ce": totals["sum_ce"] / n,
+            "eval_examples": n,
+        }
+
+    # -- main loop -----------------------------------------------------------
+
+    def train(self) -> Dict[str, Any]:
+        cfg = self.cfg
+        if cfg.run.test_only:
+            metrics = self.evaluate(use_ema=True)
+            self.log.info("test_only: %s", metrics)
+            return metrics
+
+        train_iter = pipeline.make_train_iter(cfg.data, seed=cfg.run.seed)
+        rng = jax.device_put(
+            jax.random.key(cfg.run.seed), meshlib.replicated(self.mesh)
+        )
+        sh = meshlib.batch_sharding(self.mesh)
+        meters = {k: AverageMeter() for k in ("loss", "ce", "penalty", "top1")}
+        tput = ThroughputMeter()
+        last_eval = {}
+        start = int(jax.device_get(self.state.step))
+        self.log.info(
+            "training: steps %d..%d (%d/epoch), global batch %d, mesh %s",
+            start, self.total_steps, self.steps_per_epoch,
+            cfg.data.batch_size, dict(self.mesh.shape),
+        )
+
+        for step in range(start, self.total_steps):
+            if cfg.run.profile and step == start + 10:
+                jax.profiler.start_trace(str(pathlib.Path(cfg.run.log_dir) / "trace"))
+            batch = next(train_iter)
+            batch = jax.tree.map(lambda a: jax.device_put(a, sh), batch)
+            self.state, metrics = self._train_step(self.state, batch, rng)
+            for k in meters:
+                meters[k].update(float(metrics[k]))
+            tput.update(cfg.data.batch_size)
+            if cfg.run.profile and step == start + 20:
+                jax.profiler.stop_trace()
+
+            if (step + 1) % cfg.run.log_interval_steps == 0:
+                row = {k: m.avg for k, m in meters.items()}
+                row.update(
+                    lr=float(metrics["lr"]),
+                    live_mflops=float(metrics["live_mflops"]),
+                    live_atoms=float(metrics["live_atoms"]),
+                    images_per_sec=tput.rate(),
+                    images_per_sec_chip=tput.rate_per_chip(),
+                    epoch=step // self.steps_per_epoch,
+                )
+                self.writer.write(step + 1, row)
+                self.log.info(
+                    "step %d/%d ep%d loss=%.3f ce=%.3f pen=%.4f top1=%.3f "
+                    "lr=%.4f live=%.1fMF %d img/s (%d /chip)",
+                    step + 1, self.total_steps, row["epoch"], row["loss"],
+                    row["ce"], row["penalty"], row["top1"], row["lr"],
+                    row["live_mflops"], row["images_per_sec"],
+                    row["images_per_sec_chip"],
+                )
+                for m in meters.values():
+                    m.reset()
+                tput.reset()
+
+            if (
+                cfg.search.enabled
+                and step + 1 >= cfg.search.start_step
+                and (step + 1) % cfg.search.shrink_interval_steps == 0
+            ):
+                self._shrink_event(step + 1)
+
+            is_epoch_end = (step + 1) % self.steps_per_epoch == 0
+            is_last = step + 1 == self.total_steps
+            if is_epoch_end or is_last:
+                epoch = (step + 1) // self.steps_per_epoch
+                if (
+                    epoch % max(cfg.run.eval_interval_epochs, 1) == 0 or is_last
+                ):
+                    last_eval = self.evaluate(use_ema=True)
+                    self.writer.write(step + 1, {f"eval_{k}": v for k, v in last_eval.items()})
+                    self.log.info(
+                        "eval @ step %d: top1=%.4f top5=%.4f ce=%.4f",
+                        step + 1, last_eval["top1"], last_eval["top5"],
+                        last_eval["eval_ce"],
+                    )
+                if (
+                    epoch % max(cfg.run.checkpoint_interval_epochs, 1) == 0
+                    or is_last
+                ):
+                    path = ckptlib.save_checkpoint(
+                        self.ckpt_dir, self.state, self.arch,
+                        normalizer=self.normalizer,
+                        keep=cfg.run.keep_checkpoints,
+                    )
+                    self.log.info("checkpoint: %s", path)
+
+        # final export: re-slice to the searched compact model
+        if cfg.search.enabled:
+            self._reslice(self.total_steps)
+            ckptlib.save_checkpoint(
+                self.ckpt_dir, self.state, self.arch,
+                normalizer=self.normalizer, keep=cfg.run.keep_checkpoints,
+            )
+        summary = {
+            "final_step": self.total_steps,
+            "final_mflops": F.model_flops(
+                self.arch, cfg.model.input_size, jax.device_get(self.state.masks)
+            ) / 1e6,
+            "final_mparams": F.model_params(
+                self.arch, jax.device_get(self.state.masks)
+            ) / 1e6,
+            **{f"final_{k}": v for k, v in last_eval.items()},
+        }
+        (pathlib.Path(cfg.run.log_dir) / "summary.json").write_text(
+            json.dumps(summary, indent=2)
+        )
+        self.log.info("done: %s", summary)
+        return summary
+
+
+def train_and_eval(cfg: ExperimentConfig) -> Dict[str, Any]:
+    return Experiment(cfg).train()

@@ -31,6 +31,23 @@ from atomnas_tpu.train.optim import ema_update
 from atomnas_tpu.train.state import TrainState
 
 
+_DEFAULT_MEAN = (0.485, 0.456, 0.406)
+_DEFAULT_STD = (0.229, 0.224, 0.225)
+
+
+def prep_images(images: jax.Array, dcfg: Optional[DataConfig]) -> jax.Array:
+    """Device-side normalization for uint8 pipeline batches.
+
+    The host pipeline ships uint8 (bandwidth); float inputs are assumed
+    pre-normalized and pass through (test/debug convenience).
+    """
+    if images.dtype != jnp.uint8:
+        return images
+    mean = jnp.asarray(dcfg.mean if dcfg else _DEFAULT_MEAN, jnp.float32) * 255.0
+    std = jnp.asarray(dcfg.std if dcfg else _DEFAULT_STD, jnp.float32) * 255.0
+    return (images.astype(jnp.float32) - mean) / std
+
+
 def mixup(
     rng: jax.Array, images: jax.Array, targets: jax.Array, alpha: float
 ) -> Tuple[jax.Array, jax.Array]:
@@ -71,7 +88,7 @@ def make_train_step(
         step_rng = jax.random.fold_in(rng, state.step)
         drop_rng, mix_rng = jax.random.split(step_rng)
 
-        images = batch["image"]
+        images = prep_images(batch["image"], dcfg)
         labels = batch["label"]
         targets = losses.smooth_labels(labels, arch.num_classes, ocfg.label_smoothing)
         if dcfg.mixup_alpha > 0:
@@ -130,14 +147,15 @@ def make_train_step(
     return train_step
 
 
-def make_eval_step(arch: ModelArch) -> Callable:
+def make_eval_step(arch: ModelArch, dcfg: Optional[DataConfig] = None) -> Callable:
     """Eval step: top-1/top-5 correct counts over (possibly padded) batches."""
 
     def eval_step(
         params, batch_stats, masks, batch: Dict[str, jax.Array]
     ) -> Dict[str, jax.Array]:
+        images = prep_images(batch["image"], dcfg)
         logits, _ = forward(
-            params, batch_stats, masks, batch["image"], arch=arch, training=False
+            params, batch_stats, masks, images, arch=arch, training=False
         )
         labels = batch["label"]
         valid = batch.get("valid")

@@ -1,0 +1,19 @@
+"""Misc utilities (reference: utils/common.py — seeds, small helpers)."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+
+
+def set_random_seed(seed: int) -> None:
+    """Seed host-side RNGs. Device randomness is explicit jax.random keys."""
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def tree_bytes(tree) -> int:
+    import jax
+
+    return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(tree))

@@ -1,0 +1,111 @@
+"""Metrics, meters and structured logging.
+
+Reference parity: ``utils/common.py`` AverageMeter/accuracy + stdout logging
+under ``FLAGS.log_dir`` (SURVEY.md sec 5 metrics row), upgraded per the
+survey's prescription: structured CSV metric stream, per-shrink-event arch
+dumps (JSON), and an images/sec/chip throughput meter (the BASELINE.json
+north-star metric).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import pathlib
+import sys
+import time
+from typing import Any, Dict, Optional
+
+import jax
+
+
+def setup_logging(log_dir: str | pathlib.Path, name: str = "atomnas") -> logging.Logger:
+    path = pathlib.Path(log_dir)
+    path.mkdir(parents=True, exist_ok=True)
+    logger = logging.getLogger(name)
+    logger.setLevel(logging.INFO)
+    logger.handlers.clear()
+    fmt = logging.Formatter("%(asctime)s %(levelname).1s %(message)s", "%H:%M:%S")
+    sh = logging.StreamHandler(sys.stdout)
+    sh.setFormatter(fmt)
+    logger.addHandler(sh)
+    fh = logging.FileHandler(path / "train.log")
+    fh.setFormatter(fmt)
+    logger.addHandler(fh)
+    logger.propagate = False
+    return logger
+
+
+class AverageMeter:
+    """Running average (reference: utils/common.py :: AverageMeter)."""
+
+    def __init__(self) -> None:
+        self.reset()
+
+    def reset(self) -> None:
+        self.sum = 0.0
+        self.count = 0.0
+
+    def update(self, value: float, n: float = 1.0) -> None:
+        self.sum += float(value) * n
+        self.count += n
+
+    @property
+    def avg(self) -> float:
+        return self.sum / max(self.count, 1e-12)
+
+
+class ThroughputMeter:
+    """images/sec (and per-chip) over a sliding window of steps."""
+
+    def __init__(self, num_chips: Optional[int] = None):
+        self.num_chips = num_chips or jax.device_count()
+        self.reset()
+
+    def reset(self) -> None:
+        self._t0 = time.perf_counter()
+        self._images = 0
+
+    def update(self, n_images: int) -> None:
+        self._images += n_images
+
+    def rate(self) -> float:
+        dt = time.perf_counter() - self._t0
+        return self._images / max(dt, 1e-9)
+
+    def rate_per_chip(self) -> float:
+        return self.rate() / self.num_chips
+
+
+class MetricWriter:
+    """Append-only CSV + JSONL metric stream under log_dir."""
+
+    def __init__(self, log_dir: str | pathlib.Path):
+        self.dir = pathlib.Path(log_dir)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self._csv = self.dir / "metrics.csv"
+        self._jsonl = self.dir / "metrics.jsonl"
+        self._header_written = self._csv.exists()
+
+    def write(self, step: int, metrics: Dict[str, Any]) -> None:
+        row = {"step": step}
+        for k, v in metrics.items():
+            try:
+                row[k] = float(v)
+            except (TypeError, ValueError):
+                row[k] = v
+        if not self._header_written:
+            self._csv.write_text(",".join(row.keys()) + "\n")
+            self._header_written = True
+        with self._csv.open("a") as f:
+            f.write(",".join(str(v) for v in row.values()) + "\n")
+        with self._jsonl.open("a") as f:
+            f.write(json.dumps(row) + "\n")
+
+    def dump_arch(self, step: int, arch_json: str, masks_summary: Dict[str, Any]) -> None:
+        path = self.dir / "arch_events.jsonl"
+        with path.open("a") as f:
+            f.write(
+                json.dumps({"step": step, "arch": json.loads(arch_json), **masks_summary})
+                + "\n"
+            )

@@ -1,0 +1,109 @@
+"""End-to-end integration: the experiment driver on the smoke path
+(BASELINE.json config[0] analogue, sized down for CI speed)."""
+
+import json
+import pathlib
+
+import numpy as np
+import pytest
+
+from atomnas_tpu.config import config_from_dict
+from atomnas_tpu.train.loop import train_and_eval
+
+TINY = {
+    "model": {
+        "num_classes": 10,
+        "input_size": 16,
+        "stem_channels": 8,
+        "head_channels": 32,
+        "compute_dtype": "float32",
+        "dropout": 0.0,
+        "inverted_residual_setting": [
+            [1, 8, 1, 1, [3]],
+            [2, 16, 2, 2],
+            [2, 24, 1, 2],
+        ],
+    },
+    "data": {
+        "dataset": "synthetic",
+        "num_classes": 10,
+        "image_size": 16,
+        "batch_size": 16,
+        "eval_batch_size": 16,
+        "train_examples": 64,
+        "eval_examples": 24,
+    },
+    "optim": {
+        "epochs": 2,
+        "base_lr": 0.05,
+        "base_batch": 16,
+        "warmup_epochs": 0.0,
+        "ema_decay": 0.99,
+    },
+    "run": {"log_interval_steps": 4, "resume": True},
+}
+
+
+def make_cfg(tmp_path, **over):
+    d = json.loads(json.dumps(TINY))
+    d["run"]["log_dir"] = str(tmp_path / "run")
+    for k, v in over.items():
+        sect, key = k.split(".")
+        d.setdefault(sect, {})[key] = v
+    return config_from_dict(d)
+
+
+def test_fixed_supernet_smoke(tmp_path):
+    cfg = make_cfg(tmp_path, **{"search.enabled": False})
+    summary = train_and_eval(cfg)
+    assert summary["final_step"] == 8
+    assert 0 <= summary["final_top1"] <= 1
+    assert summary["final_eval_examples"] == 24
+    run = pathlib.Path(cfg.run.log_dir)
+    assert (run / "metrics.csv").exists()
+    assert (run / "summary.json").exists()
+    assert (run / "checkpoints" / "step_00000008" / "meta.json").exists()
+
+
+def test_search_smoke_with_reslice_and_resume(tmp_path):
+    over = {
+        "search.enabled": True,
+        "search.penalty": 0.05,
+        "search.prune_threshold": 0.2,
+        "search.shrink_interval_steps": 3,
+        "search.reslice_every_events": 2,
+    }
+    cfg = make_cfg(tmp_path, **over)
+    summary = train_and_eval(cfg)
+    assert summary["final_step"] == 8
+    # strong penalty at tiny scale: atoms must actually die
+    assert summary["final_mflops"] < 0.223  # supernet is 0.22 MFLOPs
+
+    run = pathlib.Path(cfg.run.log_dir)
+    events = (run / "arch_events.jsonl").read_text().strip().splitlines()
+    assert len(events) >= 2
+
+    # resume for 2 more epochs from the (possibly resliced) checkpoint
+    d = json.loads(json.dumps(TINY))
+    d["run"]["log_dir"] = cfg.run.log_dir
+    d["optim"]["epochs"] = 4
+    for k, v in over.items():
+        sect, key = k.split(".")
+        d.setdefault(sect, {})[key] = v
+    cfg2 = config_from_dict(d)
+    summary2 = train_and_eval(cfg2)
+    assert summary2["final_step"] == 16
+    assert summary2["final_mflops"] <= summary["final_mflops"] + 1e-9
+
+
+def test_test_only_eval(tmp_path):
+    cfg = make_cfg(tmp_path, **{"search.enabled": False})
+    train_and_eval(cfg)
+    d = json.loads(json.dumps(TINY))
+    d["run"]["log_dir"] = str(tmp_path / "eval_run")
+    d["run"]["test_only"] = True
+    d["run"]["pretrained"] = str(pathlib.Path(cfg.run.log_dir) / "checkpoints")
+    d["search"] = {"enabled": False}
+    cfg2 = config_from_dict(d)
+    metrics = train_and_eval(cfg2)
+    assert "top1" in metrics and metrics["eval_examples"] == 24
