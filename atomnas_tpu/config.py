@@ -66,6 +66,7 @@ class ModelConfig:
     bn_epsilon: float = 1e-5
     round_divisor: int = 8  # channel rounding divisor (_make_divisible)
     compute_dtype: str = "bfloat16"  # activations/conv dtype; params stay f32
+    remat: bool = False  # rematerialize block activations in backward
     # inverted residual setting; None -> DEFAULT_SUPERNET_SETTING
     inverted_residual_setting: Optional[Tuple[BlockSetting, ...]] = None
 

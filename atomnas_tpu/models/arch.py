@@ -89,6 +89,9 @@ class ModelArch:
     bn_momentum: float = 0.1
     bn_epsilon: float = 1e-5
     compute_dtype: str = "bfloat16"
+    # rematerialize block activations in backward (trades ~1/3 more FLOPs
+    # for O(depth) less live-activation HBM; essential at 224^2 batch>=128)
+    remat: bool = False
 
     @property
     def num_blocks(self) -> int:
@@ -175,6 +178,7 @@ def supernet_arch(cfg: ModelConfig) -> ModelArch:
         bn_momentum=cfg.bn_momentum,
         bn_epsilon=cfg.bn_epsilon,
         compute_dtype=cfg.compute_dtype,
+        remat=cfg.remat,
     )
 
 

@@ -42,6 +42,7 @@ Parameter pytree layout (all float32; compute in ``arch.compute_dtype``):
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -160,15 +161,16 @@ def forward(
     h = act(h)
 
     for i, b in enumerate(arch.blocks):
-        h, bst = _block_forward(
+        block_fn = functools.partial(
+            _block_forward, b=b, act=act, bn_kw=bn_kw, use_pallas=use_pallas
+        )
+        if arch.remat and training:
+            block_fn = jax.checkpoint(block_fn)
+        h, bst = block_fn(
             params["blocks"][i],
             batch_stats["blocks"][i],
             masks[f"block_{i}"],
             h,
-            b,
-            act,
-            bn_kw,
-            use_pallas=use_pallas,
         )
         new_stats["blocks"].append(bst)
 
@@ -193,10 +195,10 @@ def _block_forward(
     s: Params,
     mask: jax.Array,
     x: jax.Array,
+    *,
     b: BlockArch,
     act,
     bn_kw,
-    *,
     use_pallas: bool = False,
 ) -> Tuple[jax.Array, Params]:
     new_s: Params = {}
