@@ -93,6 +93,38 @@ def depthwise_conv(x: jax.Array, w: jax.Array, stride: int = 1) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def bn_moments(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Batch moments over (N, H, W) in float32 (biased variance).
+
+    Global (sync) by construction: the batch axis is sharded over the data
+    mesh axis, so these means are cross-replica reductions under GSPMD.
+    """
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(0, 1, 2))
+    var = jnp.mean(jnp.square(x32), axis=(0, 1, 2)) - jnp.square(mean)
+    return mean, jnp.maximum(var, 0.0)
+
+
+def bn_update_running(
+    stats: Params, mean: jax.Array, var: jax.Array, n: int, momentum: float
+) -> Params:
+    """Torch-style running update with unbiased batch variance."""
+    unbiased = var * (n / max(n - 1, 1))
+    return {
+        "mean": (1 - momentum) * stats["mean"] + momentum * mean,
+        "var": (1 - momentum) * stats["var"] + momentum * unbiased,
+    }
+
+
+def bn_fold(
+    params: Params, mean: jax.Array, var: jax.Array, epsilon: float
+) -> Tuple[jax.Array, jax.Array]:
+    """Fold BN into a per-channel affine: y = x * scale_a + bias_a."""
+    scale_a = params["scale"].astype(jnp.float32) * jax.lax.rsqrt(var + epsilon)
+    bias_a = params["bias"].astype(jnp.float32) - mean * scale_a
+    return scale_a, bias_a
+
+
 def batch_norm(
     x: jax.Array,
     params: Params,
@@ -109,26 +141,15 @@ def batch_norm(
     biased variance for normalization (matches torch.nn.BatchNorm2d, which
     the reference relies on for its gamma-threshold shrink dynamics).
     """
-    scale = params["scale"].astype(jnp.float32)
-    bias = params["bias"].astype(jnp.float32)
-    x32 = x.astype(jnp.float32)
     if training:
-        # Global (sync) moments: batch axis is sharded over the data mesh
-        # axis, so these means are cross-replica reductions under GSPMD.
-        mean = jnp.mean(x32, axis=(0, 1, 2))
-        var = jnp.mean(jnp.square(x32), axis=(0, 1, 2)) - jnp.square(mean)
-        var = jnp.maximum(var, 0.0)
+        mean, var = bn_moments(x)
         n = x.shape[0] * x.shape[1] * x.shape[2]
-        unbiased = var * (n / max(n - 1, 1))
-        new_stats = {
-            "mean": (1 - momentum) * stats["mean"] + momentum * mean,
-            "var": (1 - momentum) * stats["var"] + momentum * unbiased,
-        }
+        new_stats = bn_update_running(stats, mean, var, n, momentum)
     else:
         mean, var = stats["mean"], stats["var"]
         new_stats = stats
-    inv = jax.lax.rsqrt(var + epsilon) * scale
-    y = (x32 - mean) * inv + bias
+    scale_a, bias_a = bn_fold(params, mean, var, epsilon)
+    y = x.astype(jnp.float32) * scale_a + bias_a
     return y.astype(x.dtype), new_stats
 
 

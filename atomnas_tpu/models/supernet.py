@@ -201,6 +201,8 @@ def _block_forward(
     bn_kw,
     use_pallas: bool = False,
 ) -> Tuple[jax.Array, Params]:
+    if use_pallas:
+        return _block_forward_fused(p, s, mask, x, b=b, act=act, bn_kw=bn_kw)
     new_s: Params = {}
     if b.expand:
         h = layers.conv1x1(x, p["pw1"])
@@ -237,6 +239,88 @@ def _block_forward(
             # A fully dead residual block must be EXACTLY the identity
             # (otherwise bn3's bias leaks; the reference has this leak until
             # it deletes the module — we fix it so masked == re-sliced).
+            alive = (jnp.sum(mask) > 0).astype(y.dtype)
+            y = y * alive
+        y = y + x
+    return y, new_s
+
+
+def _block_forward_fused(
+    p: Params,
+    s: Params,
+    mask: jax.Array,
+    x: jax.Array,
+    *,
+    b: BlockArch,
+    act,
+    bn_kw,
+) -> Tuple[jax.Array, Params]:
+    """Block forward using the fused dw-sandwich Pallas kernel.
+
+    Same math as the XLA path (tested): the bn1-apply + activation +
+    depthwise conv + bn2-moments all happen in one HBM pass
+    (ops/pallas/fused_dw.py). Single-device only for now — pallas_call does
+    not auto-partition under GSPMD; the XLA path remains the multi-chip
+    default.
+    """
+    from atomnas_tpu.ops.pallas import fused_dw as FD
+
+    arch_act = "relu6" if act is layers.relu6 else (
+        "swish" if act is layers.swish else None
+    )
+    if arch_act is None:
+        raise ValueError("pallas path supports relu6/swish activations only")
+    training = bn_kw["training"]
+    momentum, eps = bn_kw["momentum"], bn_kw["epsilon"]
+
+    new_s: Params = {}
+    if b.expand:
+        h0 = layers.conv1x1(x, p["pw1"])
+        if training:
+            mean1, var1 = layers.bn_moments(h0)
+            n1 = h0.shape[0] * h0.shape[1] * h0.shape[2]
+            new_s["bn1"] = layers.bn_update_running(s["bn1"], mean1, var1, n1, momentum)
+        else:
+            mean1, var1 = s["bn1"]["mean"], s["bn1"]["var"]
+            new_s["bn1"] = s["bn1"]
+        scale_a, bias_a = layers.bn_fold(p["bn1"], mean1, var1, eps)
+        pre_act = arch_act
+    else:
+        h0 = x
+        c = b.total_hidden
+        scale_a = jnp.ones((c,), jnp.float32)
+        bias_a = jnp.zeros((c,), jnp.float32)
+        pre_act = "identity"
+
+    w49 = FD.pack_w49(p["dw"], b.kernels)
+    y_dw, s_sum, s_ssq = FD.dw_sandwich(
+        h0, scale_a, bias_a, w49, b.stride, pre_act, True
+    )
+
+    m = y_dw.shape[0] * y_dw.shape[1] * y_dw.shape[2]
+    if training:
+        mean2 = s_sum / m
+        var2 = jnp.maximum(s_ssq / m - jnp.square(mean2), 0.0)
+        new_s["bn2"] = layers.bn_update_running(s["bn2"], mean2, var2, m, momentum)
+    else:
+        mean2, var2 = s["bn2"]["mean"], s["bn2"]["var"]
+        new_s["bn2"] = s["bn2"]
+    scale2, bias2 = layers.bn_fold(p["bn2"], mean2, var2, eps)
+    h = act(y_dw.astype(jnp.float32) * scale2 + bias2).astype(y_dw.dtype)
+    h = h * mask.astype(h.dtype)
+
+    offs = b.splits
+    if b.se_ratio > 0:
+        gated = []
+        for j, k in enumerate(b.kernels):
+            sl = h[..., offs[j] : offs[j] + b.hidden[j]]
+            gated.append(layers.squeeze_excite(sl, p["se"][f"k{k}"], act))
+        h = gated[0] if len(gated) == 1 else jnp.concatenate(gated, axis=-1)
+
+    y = layers.conv1x1(h, p["pw2"])
+    y, new_s["bn3"] = layers.batch_norm(y, p["bn3"], s["bn3"], **bn_kw)
+    if b.residual:
+        if b.searchable:
             alive = (jnp.sum(mask) > 0).astype(y.dtype)
             y = y * alive
         y = y + x

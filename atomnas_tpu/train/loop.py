@@ -117,10 +117,13 @@ class Experiment:
             make_train_step(
                 self.arch, cfg.optim, cfg.search, cfg.data,
                 self.tx, self.schedule, pw, cfg.model.input_size,
+                use_pallas=cfg.run.use_pallas,
             ),
             donate_argnums=0,
         )
-        self._eval_step = jax.jit(make_eval_step(self.arch, cfg.data))
+        self._eval_step = jax.jit(
+            make_eval_step(self.arch, cfg.data, use_pallas=cfg.run.use_pallas)
+        )
 
     # -- shrinkage -----------------------------------------------------------
 

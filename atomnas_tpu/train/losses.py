@@ -32,7 +32,7 @@ def top_k_correct(
 
     ``valid`` (0/1 per example) discounts padding in ragged eval batches.
     """
-    _, top = jax.lax.top_k(logits.astype(jnp.float32), k)
+    _, top = jax.lax.top_k(logits.astype(jnp.float32), min(k, logits.shape[-1]))
     correct = jnp.any(top == labels[:, None], axis=-1).astype(jnp.float32)
     if valid is not None:
         correct = correct * valid.astype(jnp.float32)

@@ -75,6 +75,7 @@ def make_train_step(
     schedule: Callable,
     pen_weights: Dict[str, jnp.ndarray],
     input_size: int,
+    use_pallas: bool = False,
 ) -> Callable:
     """Build the pure train-step fn for a given (static) arch."""
     atom_costs = {k: jnp.asarray(v) for k, v in F.atom_flops(arch, input_size).items()}
@@ -103,6 +104,7 @@ def make_train_step(
                 arch=arch,
                 training=True,
                 rng=drop_rng,
+                use_pallas=use_pallas,
             )
             ce = losses.cross_entropy(logits, targets)
             if search_on:
@@ -147,7 +149,8 @@ def make_train_step(
     return train_step
 
 
-def make_eval_step(arch: ModelArch, dcfg: Optional[DataConfig] = None) -> Callable:
+def make_eval_step(arch: ModelArch, dcfg: Optional[DataConfig] = None,
+                   use_pallas: bool = False) -> Callable:
     """Eval step: top-1/top-5 correct counts over (possibly padded) batches."""
 
     def eval_step(
@@ -155,7 +158,8 @@ def make_eval_step(arch: ModelArch, dcfg: Optional[DataConfig] = None) -> Callab
     ) -> Dict[str, jax.Array]:
         images = prep_images(batch["image"], dcfg)
         logits, _ = forward(
-            params, batch_stats, masks, images, arch=arch, training=False
+            params, batch_stats, masks, images, arch=arch, training=False,
+            use_pallas=use_pallas,
         )
         labels = batch["label"]
         valid = batch.get("valid")
