@@ -1,0 +1,44 @@
+"""Eval-only entry point (reference parity: FLAGS.test_only path,
+SURVEY.md sec 3.4): load a checkpoint, rebuild the (shrunk) arch, re-profile
+FLOPs, evaluate top-1/top-5.
+
+    python -m atomnas_tpu.cli.eval --config configs/atomnas_c.yml \
+        --checkpoint runs/atomnas_c/checkpoints
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from atomnas_tpu.config import load_config, parse_argv_overrides
+from atomnas_tpu.cli.train import apply_platform
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="atomnas_tpu eval")
+    p.add_argument("--config", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("overrides", nargs="*", default=[])
+    args = p.parse_args(argv)
+    cfg = load_config(args.config)
+    if args.overrides:
+        cfg = parse_argv_overrides(cfg, args.overrides)
+    cfg = dataclasses.replace(
+        cfg,
+        run=dataclasses.replace(cfg.run, test_only=True, pretrained=args.checkpoint),
+    )
+    apply_platform(cfg.run)
+    from atomnas_tpu.ops import flops as F
+    from atomnas_tpu.train.loop import Experiment
+
+    exp = Experiment(cfg)
+    print(F.profile_table(exp.arch, cfg.model.input_size,
+                          __import__("jax").device_get(exp.state.masks)))
+    metrics = exp.train()  # test_only path
+    print({k: round(float(v), 4) for k, v in metrics.items()})
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

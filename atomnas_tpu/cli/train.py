@@ -31,6 +31,13 @@ def apply_platform(run: RunConfig) -> None:
         import jax
 
         jax.config.update("jax_platforms", run.platform)
+    if run.multihost:
+        # multi-host slice bootstrap: coordinator/rank discovered from the
+        # TPU runtime env (GCE metadata / megascale env vars) — the GSPMD
+        # replacement for the reference's NCCL init_process_group
+        import jax
+
+        jax.distributed.initialize()
 
 
 def parse_args(argv=None):

@@ -161,6 +161,9 @@ class RunConfig:
     platform: str = ""
     # with platform=cpu: fake device count for mesh tests (0 = leave alone)
     host_device_count: int = 0
+    # multi-host TPU slice: call jax.distributed.initialize() at startup
+    # (reference parity: utils/distributed.py :: init_dist, SURVEY.md sec 2.4)
+    multihost: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

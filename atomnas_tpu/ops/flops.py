@@ -148,6 +148,36 @@ def model_params(
     return total
 
 
+def xla_cost_crosscheck(arch: ModelArch, input_size: int) -> dict:
+    """Cross-check the analytic counter against XLA's HLO cost analysis
+    (SURVEY.md sec 5 tracing row). XLA counts FLOPs (2x MACs for conv/dot)
+    plus elementwise work, so xla_flops / (2 * analytic_macs) should sit a
+    little above 1."""
+    import jax
+    import jax.numpy as jnp
+
+    from atomnas_tpu.models.supernet import forward, init_masks, init_params
+
+    params, stats = init_params(jax.random.key(0), arch)
+    masks = init_masks(arch)
+    x = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
+    compiled = (
+        jax.jit(lambda p, s, m, x: forward(p, s, m, x, arch=arch, training=False)[0])
+        .lower(params, stats, masks, x)
+        .compile()
+    )
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):  # one entry per device program
+        cost = cost[0]
+    xla_flops = float(cost.get("flops", 0.0))
+    analytic_macs = model_flops(arch, input_size)
+    return {
+        "xla_flops": xla_flops,
+        "analytic_macs": analytic_macs,
+        "ratio_vs_2macs": xla_flops / (2.0 * analytic_macs) if analytic_macs else 0.0,
+    }
+
+
 def profile_table(arch: ModelArch, input_size: int, masks=None) -> str:
     """Human-readable per-block profile (reference: model_profiling's table)."""
     sizes = spatial_sizes(arch, input_size)

@@ -77,6 +77,29 @@ def param_shardings(mesh: Mesh, params: Dict[str, Any]):
     return jax.tree_util.tree_map_with_path(decide, params)
 
 
+def assert_replica_consistent(tree, name: str = "tree") -> None:
+    """Assert a replicated pytree holds identical bytes on every device.
+
+    Reference parity: the NCCL-determinism invariant that shrink masks are
+    identical across ranks (SURVEY.md sec 2.4) was never asserted there;
+    here it is checkable. Cheap enough to run at every shrink event for the
+    masks. No-op for single-device arrays.
+    """
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        if not hasattr(leaf, "addressable_shards"):
+            continue
+        shards = leaf.addressable_shards
+        if len(shards) <= 1:
+            continue
+        first = np.asarray(shards[0].data).tobytes()
+        for s in shards[1:]:
+            if np.asarray(s.data).tobytes() != first:
+                raise AssertionError(
+                    f"replica divergence in {name}{jax.tree_util.keystr(path)} "
+                    f"between devices {shards[0].device} and {s.device}"
+                )
+
+
 def shard_batch(mesh: Mesh, batch: Dict[str, np.ndarray]):
     """Host batch -> device arrays sharded over the data axis."""
     sh = batch_sharding(mesh)

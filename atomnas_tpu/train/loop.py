@@ -136,6 +136,7 @@ class Experiment:
             masks=new_masks, shrink_events=self.state.shrink_events + 1
         )
         self.shrink_events += 1
+        meshlib.assert_replica_consistent(new_masks, "masks")
         masks_host = jax.device_get(new_masks)
         live_fl = F.model_flops(self.arch, cfg.model.input_size, masks_host)
         alive = int(sum(m.sum() for m in masks_host.values()))

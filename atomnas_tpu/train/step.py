@@ -95,10 +95,10 @@ def make_train_step(
         if dcfg.mixup_alpha > 0:
             images, targets = mixup(mix_rng, images, targets, dcfg.mixup_alpha)
 
-        def loss_fn(params):
+        def loss_fn(params, batch_stats, images, targets):
             logits, new_stats = forward(
                 params,
-                state.batch_stats,
+                batch_stats,
                 state.masks,
                 images,
                 arch=arch,
@@ -113,9 +113,41 @@ def make_train_step(
                 pen = jnp.zeros((), jnp.float32)
             return ce + pen, (new_stats, logits, ce, pen)
 
-        (loss, (new_stats, logits, ce, pen)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+        accum = max(ocfg.grad_accum_steps, 1)
+        if accum == 1:
+            (loss, (new_stats, logits, ce, pen)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, state.batch_stats, images, targets)
+        else:
+            # gradient accumulation: lax.scan over micro-batches; one
+            # optimizer/EMA update per step. BN moments are per-micro-batch
+            # (ghost-BN semantics) and running stats chain through the scan.
+            n = images.shape[0]
+            micro = n // accum
+            im = images[: micro * accum].reshape((accum, micro) + images.shape[1:])
+            tg = targets[: micro * accum].reshape((accum, micro) + targets.shape[1:])
+
+            def micro_step(carry, xs):
+                stats_c, grad_sum, loss_sum, ce_sum = carry
+                mi, mt = xs
+                (l, (ns, logits_m, ce_m, pen_m)), g = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params, stats_c, mi, mt)
+                grad_sum = jax.tree.map(jnp.add, grad_sum, g)
+                return (ns, grad_sum, loss_sum + l, ce_sum + ce_m), (logits_m, pen_m)
+
+            zero_g = jax.tree.map(jnp.zeros_like, state.params)
+            (new_stats, grads, loss_sum, ce_sum), (logits_all, pen_all) = jax.lax.scan(
+                micro_step,
+                (state.batch_stats, zero_g, jnp.zeros(()), jnp.zeros(())),
+                (im, tg),
+            )
+            grads = jax.tree.map(lambda g: g / accum, grads)
+            loss = loss_sum / accum
+            ce = ce_sum / accum
+            pen = pen_all[-1]
+            logits = logits_all.reshape((micro * accum,) + logits_all.shape[2:])
+            labels = labels[: micro * accum]
 
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

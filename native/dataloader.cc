@@ -133,32 +133,51 @@ CropRect sample_rrc(std::mt19937& rng, int w, int h) {
 }
 
 // Bilinear crop-resize from src(rect) to dst (size x size), optional hflip.
+// Fixed-point (8-bit fractional) with precomputed per-column coefficient
+// tables — the per-sample hot loop, SIMD-friendly.
 void crop_resize(const Image& src, CropRect r, int size, bool flip,
                  uint8_t* dst) {
   const double sx = double(r.w) / size;
   const double sy = double(r.h) / size;
+  // per-output-column source indices and weights
+  std::vector<int> xi0(size), xi1(size);
+  std::vector<int> xw(size);  // weight of x1, 0..256
+  for (int ox = 0; ox < size; ++ox) {
+    double fx = (ox + 0.5) * sx - 0.5 + r.x;
+    int x0 = int(std::floor(fx));
+    int w = int((fx - x0) * 256.0 + 0.5);
+    xi0[ox] = std::min(std::max(x0, 0), src.w - 1) * 3;
+    xi1[ox] = std::min(std::max(x0 + 1, 0), src.w - 1) * 3;
+    xw[ox] = std::min(std::max(w, 0), 256);
+  }
+  std::vector<uint16_t> row0(size * 3), row1(size * 3);
   for (int oy = 0; oy < size; ++oy) {
     double fy = (oy + 0.5) * sy - 0.5 + r.y;
     int y0 = int(std::floor(fy));
-    double wy = fy - y0;
+    int wy = std::min(std::max(int((fy - y0) * 256.0 + 0.5), 0), 256);
     int y1 = std::min(std::max(y0 + 1, 0), src.h - 1);
     y0 = std::min(std::max(y0, 0), src.h - 1);
+    const uint8_t* s0 = &src.rgb[size_t(y0) * src.w * 3];
+    const uint8_t* s1 = &src.rgb[size_t(y1) * src.w * 3];
+    // horizontal pass for both source rows (8.8 fixed point)
     for (int ox = 0; ox < size; ++ox) {
-      double fx = (ox + 0.5) * sx - 0.5 + r.x;
-      int x0 = int(std::floor(fx));
-      double wx = fx - x0;
-      int x1 = std::min(std::max(x0 + 1, 0), src.w - 1);
-      x0 = std::min(std::max(x0, 0), src.w - 1);
-      const uint8_t* p00 = &src.rgb[(size_t(y0) * src.w + x0) * 3];
-      const uint8_t* p01 = &src.rgb[(size_t(y0) * src.w + x1) * 3];
-      const uint8_t* p10 = &src.rgb[(size_t(y1) * src.w + x0) * 3];
-      const uint8_t* p11 = &src.rgb[(size_t(y1) * src.w + x1) * 3];
-      int out_x = flip ? (size - 1 - ox) : ox;
-      uint8_t* o = dst + (size_t(oy) * size + out_x) * 3;
+      int a = xi0[ox], b = xi1[ox], w = xw[ox], iw = 256 - w;
       for (int c = 0; c < 3; ++c) {
-        double v = (1 - wy) * ((1 - wx) * p00[c] + wx * p01[c]) +
-                   wy * ((1 - wx) * p10[c] + wx * p11[c]);
-        o[c] = uint8_t(std::min(std::max(int(std::lround(v)), 0), 255));
+        row0[ox * 3 + c] = uint16_t((iw * s0[a + c] + w * s0[b + c]) >> 2);
+        row1[ox * 3 + c] = uint16_t((iw * s1[a + c] + w * s1[b + c]) >> 2);
+      }
+    }
+    // vertical blend + write (optionally flipped)
+    uint8_t* orow = dst + size_t(oy) * size * 3;
+    int iwy = 256 - wy;
+    for (int ox = 0; ox < size; ++ox) {
+      int out_x = flip ? (size - 1 - ox) : ox;
+      uint8_t* o = orow + out_x * 3;
+      for (int c = 0; c < 3; ++c) {
+        // row values are 14-bit; blend back to 8-bit with rounding
+        uint32_t v = uint32_t(iwy) * row0[ox * 3 + c] +
+                     uint32_t(wy) * row1[ox * 3 + c];
+        o[c] = uint8_t((v + (1u << 13)) >> 14);
       }
     }
   }

@@ -1,0 +1,172 @@
+"""Auxiliary subsystems: grad accumulation, HLO cost cross-check, replica
+consistency assertion, meters/metric writer, checkpoint GC."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from atomnas_tpu.config import (
+    BlockSetting,
+    DataConfig,
+    MeshConfig,
+    ModelConfig,
+    OptimConfig,
+    SearchConfig,
+)
+from atomnas_tpu.models import init_masks, init_params, supernet_arch
+from atomnas_tpu.ops import flops as F
+from atomnas_tpu.parallel import mesh as meshlib
+from atomnas_tpu.search.penalty import penalty_weights
+from atomnas_tpu.train import lr as lrlib
+from atomnas_tpu.train.optim import make_optimizer
+from atomnas_tpu.train.state import create_train_state
+from atomnas_tpu.train.step import make_train_step
+
+TINY = (
+    BlockSetting(t=1, c=8, n=1, s=1, ks=(3,)),
+    BlockSetting(t=2, c=16, n=1, s=2),
+)
+
+
+def build_step(accum=1, batch=16):
+    mcfg = ModelConfig(
+        num_classes=10, input_size=16, stem_channels=8, head_channels=32,
+        compute_dtype="float32", dropout=0.0, inverted_residual_setting=TINY,
+    )
+    ocfg = OptimConfig(base_lr=0.1, base_batch=batch, warmup_epochs=0.0,
+                       ema_decay=0.99, grad_accum_steps=accum)
+    scfg = SearchConfig(enabled=True, penalty=1e-3)
+    dcfg = DataConfig(num_classes=10, image_size=16, batch_size=batch)
+    arch = supernet_arch(mcfg)
+    params, stats = init_params(jax.random.key(0), arch)
+    masks = init_masks(arch)
+    sched = lrlib.make_schedule(ocfg, batch, 100, 10)
+    tx = make_optimizer(ocfg, sched)
+    state = create_train_state(params, stats, masks, tx)
+    pw, _ = penalty_weights(arch, 16)
+    step = jax.jit(make_train_step(arch, ocfg, scfg, dcfg, tx, sched, pw, 16))
+    return state, step
+
+
+def test_grad_accumulation_runs_and_learns():
+    state, step = build_step(accum=4, batch=16)
+    batch = {
+        "image": jax.random.normal(jax.random.key(1), (16, 16, 16, 3)),
+        "label": jax.random.randint(jax.random.key(2), (16,), 0, 10),
+    }
+    ls = []
+    for _ in range(8):
+        state, m = step(state, batch, jax.random.key(0))
+        ls.append(float(m["ce"]))
+    assert np.all(np.isfinite(ls))
+    assert ls[-1] < ls[0]
+    assert int(state.step) == 8  # one logical step per call
+
+
+def test_grad_accum_matches_full_batch_when_bn_frozen():
+    """With BN momentum ~0 and identical micro-batches, accumulated grads
+    must equal the full-batch grads (same data repeated)."""
+    mcfg = ModelConfig(
+        num_classes=10, input_size=16, stem_channels=8, head_channels=32,
+        compute_dtype="float32", dropout=0.0, bn_momentum=0.0,
+        inverted_residual_setting=TINY,
+    )
+    ocfg1 = OptimConfig(base_lr=0.1, base_batch=8, warmup_epochs=0.0,
+                        momentum=0.0, weight_decay=0.0, ema_decay=0.0)
+    ocfg2 = ocfg1.__class__(**{**ocfg1.__dict__, "grad_accum_steps": 2})
+    scfg = SearchConfig(enabled=False)
+    dcfg = DataConfig(num_classes=10, image_size=16, batch_size=8)
+    arch = supernet_arch(mcfg)
+    params, stats = init_params(jax.random.key(0), arch)
+    masks = init_masks(arch)
+    sched = lrlib.make_schedule(ocfg1, 8, 100, 10)
+
+    img4 = jax.random.normal(jax.random.key(1), (4, 16, 16, 3))
+    lab4 = jax.random.randint(jax.random.key(2), (4,), 0, 10)
+    batch = {  # two identical micro-batches
+        "image": jnp.concatenate([img4, img4]),
+        "label": jnp.concatenate([lab4, lab4]),
+    }
+    outs = []
+    for ocfg in (ocfg1, ocfg2):
+        tx = make_optimizer(ocfg, sched)
+        st = create_train_state(params, stats, masks, tx)
+        pw, _ = penalty_weights(arch, 16)
+        step = jax.jit(make_train_step(arch, ocfg, scfg, dcfg, tx, sched, pw, 16))
+        st, m = step(st, batch, jax.random.key(3))
+        outs.append((jax.device_get(st.params), float(m["ce"])))
+    (p1, ce1), (p2, ce2) = outs
+    assert ce1 == pytest.approx(ce2, rel=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
+
+
+def test_xla_cost_crosscheck():
+    arch = supernet_arch(
+        ModelConfig(num_classes=10, input_size=32, stem_channels=8,
+                    head_channels=32, compute_dtype="float32",
+                    inverted_residual_setting=TINY)
+    )
+    out = F.xla_cost_crosscheck(arch, 32)
+    # XLA flops ~= 2 * analytic MACs + elementwise overhead
+    assert 0.9 < out["ratio_vs_2macs"] < 1.8, out
+
+
+def test_replica_consistency_assertion():
+    mesh = meshlib.make_mesh(MeshConfig())
+    good = jax.device_put(jnp.arange(8.0), meshlib.replicated(mesh))
+    meshlib.assert_replica_consistent({"m": good})  # must not raise
+
+    # a data-sharded array is NOT replica-consistent; the check must catch
+    # per-device divergence when misused on it
+    sharded = jax.device_put(jnp.arange(8.0), meshlib.batch_sharding(mesh))
+    with pytest.raises(AssertionError):
+        meshlib.assert_replica_consistent({"m": sharded})
+
+
+def test_meters_and_writer(tmp_path):
+    from atomnas_tpu.utils.logging import AverageMeter, MetricWriter, ThroughputMeter
+
+    m = AverageMeter()
+    m.update(1.0)
+    m.update(3.0)
+    assert m.avg == 2.0
+    m.reset()
+    assert m.avg == 0.0
+
+    w = MetricWriter(tmp_path)
+    w.write(1, {"loss": 2.0})
+    w.write(2, {"loss": 1.0})
+    lines = (tmp_path / "metrics.csv").read_text().strip().splitlines()
+    assert lines[0] == "step,loss"
+    assert len(lines) == 3
+
+    t = ThroughputMeter(num_chips=2)
+    t.update(100)
+    assert t.rate() > 0
+    # per-chip rate halves the total (elapsed time moves between calls, so
+    # compare loosely)
+    assert 0 < t.rate_per_chip() < t.rate()
+
+
+def test_checkpoint_gc(tmp_path):
+    import optax
+
+    from atomnas_tpu.utils import checkpoint as C
+
+    arch = supernet_arch(
+        ModelConfig(num_classes=10, input_size=16, stem_channels=8,
+                    head_channels=32, inverted_residual_setting=TINY)
+    )
+    params, stats = init_params(jax.random.key(0), arch)
+    masks = init_masks(arch)
+    tx = optax.sgd(0.1)
+    state = create_train_state(params, stats, masks, tx)
+    for step in (1, 2, 3, 4):
+        state = state.replace(step=jnp.asarray(step, jnp.int32))
+        C.save_checkpoint(tmp_path, state, arch, normalizer=1.0, keep=2)
+    assert C.all_steps(tmp_path) == [3, 4]
+    restored, arch2, meta = C.restore_checkpoint(tmp_path, tx)
+    assert int(restored.step) == 4
+    assert arch2.blocks == arch.blocks
