@@ -80,8 +80,8 @@ class DataConfig:
     root: str = ""  # dataset root for imagefolder
     num_classes: int = 1000
     image_size: int = 224
-    eval_image_size: int = 224
-    eval_resize: int = 256
+    eval_image_size: int = 0  # 0 = same as image_size
+    eval_resize: int = 0  # 0 = ~1.14x eval size (256 for 224)
     batch_size: int = 1024  # GLOBAL batch size
     eval_batch_size: int = 1024
     mixup_alpha: float = 0.0  # 0 disables mixup
@@ -93,6 +93,14 @@ class DataConfig:
     train_examples: int = 1_281_167  # ImageNet-1k default
     eval_examples: int = 50_000
     use_native_decoder: bool = True  # C++ JPEG decode path when available
+
+    @property
+    def eval_size(self) -> int:
+        return self.eval_image_size or self.image_size
+
+    @property
+    def eval_resize_size(self) -> int:
+        return self.eval_resize or int(self.eval_size * 256 / 224)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -130,7 +138,12 @@ class SearchConfig:
     # keep at least this many atoms alive in blocks that cannot become
     # identity (non-residual blocks); residual blocks may die entirely.
     min_atoms_nonresidual: int = 1
-    flops_budget: float = 0.0  # informational target, logged vs live FLOPs
+    flops_budget: float = 0.0  # target budget; drives adaptive scheduling
+    # "fixed": constant rho (paper's per-config constant).
+    # "adaptive": rho_eff = rho * clip((live - budget)/budget, 0, 2) —
+    # pressure proportional to distance above budget, zero once reached
+    # (BASELINE.json config[2]: resource-aware penalty scheduling).
+    penalty_schedule: str = "fixed"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -37,19 +37,34 @@ IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp")
 
 
 class SyntheticDataset:
-    """Deterministic fake data, pre-generated once and cycled."""
+    """Deterministic fake data, pre-generated once and cycled.
 
-    def __init__(self, cfg: DataConfig, *, train: bool, seed: int = 0):
+    ``learnable=True`` embeds a fixed per-class pattern under the noise so
+    end-to-end runs can demonstrate real learning/search dynamics without a
+    dataset on disk (dataset: "synthetic_learnable").
+    """
+
+    def __init__(self, cfg: DataConfig, *, train: bool, seed: int = 0,
+                 learnable: bool = False):
         self.cfg = cfg
         n = cfg.train_examples if train else cfg.eval_examples
         self.n = max(n, cfg.batch_size if train else cfg.eval_batch_size)
         self.batch = cfg.batch_size if train else cfg.eval_batch_size
-        size = cfg.image_size if train else cfg.eval_image_size
+        size = cfg.image_size if train else cfg.eval_size
         rng = np.random.RandomState(seed + (0 if train else 1))
         # small pool of unique images cycled to keep memory bounded
         pool = min(self.n, 4 * self.batch)
         self._images = rng.randint(0, 256, size=(pool, size, size, 3), dtype=np.uint8)
         self._labels = rng.randint(0, cfg.num_classes, size=(pool,)).astype(np.int32)
+        if learnable:
+            # class patterns drawn once with a seed SHARED by train/val so
+            # the task is consistent across splits
+            prng = np.random.RandomState(12345)
+            patterns = prng.randint(
+                0, 256, size=(cfg.num_classes, size, size, 3)
+            ).astype(np.float32)
+            mixed = 0.75 * patterns[self._labels] + 0.25 * self._images
+            self._images = np.clip(mixed, 0, 255).astype(np.uint8)
         self.train = train
 
     def __iter__(self) -> Iterator[Batch]:
@@ -158,7 +173,7 @@ def make_imagefolder_train(cfg: DataConfig, seed: int = 0):
 def make_imagefolder_eval(cfg: DataConfig):
     tf = _tf()
     files, labels, _ = _list_imagefolder(pathlib.Path(cfg.root) / "val")
-    size, resize = cfg.eval_image_size, cfg.eval_resize
+    size, resize = cfg.eval_size, cfg.eval_resize_size
 
     def decode_eval(path, label):
         raw = tf.io.read_file(path)
@@ -205,8 +220,9 @@ def _as_numpy(ds):
 
 
 def make_train_iter(cfg: DataConfig, seed: int = 0) -> Iterator[Batch]:
-    if cfg.dataset == "synthetic":
-        return iter(SyntheticDataset(cfg, train=True, seed=seed))
+    if cfg.dataset in ("synthetic", "synthetic_learnable"):
+        return iter(SyntheticDataset(cfg, train=True, seed=seed,
+                                     learnable=cfg.dataset.endswith("learnable")))
     if cfg.dataset == "imagefolder":
         if cfg.use_native_decoder:
             try:
@@ -221,8 +237,9 @@ def make_train_iter(cfg: DataConfig, seed: int = 0) -> Iterator[Batch]:
 
 def make_eval_iter(cfg: DataConfig) -> Any:
     """Returns a CALLABLE producing a fresh epoch iterator (eval is finite)."""
-    if cfg.dataset == "synthetic":
-        ds = SyntheticDataset(cfg, train=False)
+    if cfg.dataset in ("synthetic", "synthetic_learnable"):
+        ds = SyntheticDataset(cfg, train=False,
+                              learnable=cfg.dataset.endswith("learnable"))
         return lambda: iter(ds)
     if cfg.dataset == "imagefolder":
         return make_imagefolder_eval(cfg)

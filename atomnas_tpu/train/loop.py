@@ -141,7 +141,7 @@ class Experiment:
         live_fl = F.model_flops(self.arch, cfg.model.input_size, masks_host)
         alive = int(sum(m.sum() for m in masks_host.values()))
         self.log.info(
-            "shrink event %d @ step %d: %d atoms alive, %.2f MFLOPs (budget %.0f)",
+            "shrink event %d @ step %d: %d atoms alive, %.2f MFLOPs (budget %.2f)",
             self.shrink_events, step, alive, live_fl / 1e6,
             cfg.search.flops_budget / 1e6,
         )

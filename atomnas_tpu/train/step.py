@@ -82,12 +82,24 @@ def make_train_step(
     const_fl = F.constant_flops(arch, input_size)
     pen_w = {k: jnp.asarray(v) for k, v in pen_weights.items()}
     search_on = scfg.enabled and scfg.penalty > 0
+    adaptive = (
+        search_on
+        and scfg.penalty_schedule == "adaptive"
+        and scfg.flops_budget > 0
+    )
 
     def train_step(
         state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array
     ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         step_rng = jax.random.fold_in(rng, state.step)
         drop_rng, mix_rng = jax.random.split(step_rng)
+
+        live_fl = F.live_flops(atom_costs, const_fl, state.masks)
+        if adaptive:
+            over = (live_fl - scfg.flops_budget) / scfg.flops_budget
+            rho = scfg.penalty * jnp.clip(over, 0.0, 2.0)
+        else:
+            rho = scfg.penalty
 
         images = prep_images(batch["image"], dcfg)
         labels = batch["label"]
@@ -108,7 +120,7 @@ def make_train_step(
             )
             ce = losses.cross_entropy(logits, targets)
             if search_on:
-                pen = penalty_term(params, state.masks, pen_w, scfg.penalty)
+                pen = penalty_term(params, state.masks, pen_w, rho)
             else:
                 pen = jnp.zeros((), jnp.float32)
             return ce + pen, (new_stats, logits, ce, pen)
@@ -166,7 +178,7 @@ def make_train_step(
             "penalty": pen,
             "top1": losses.top_k_correct(logits, labels, 1) / n,
             "lr": schedule(state.step),
-            "live_mflops": F.live_flops(atom_costs, const_fl, state.masks) / 1e6,
+            "live_mflops": live_fl / 1e6,
             "live_atoms": sum(m.sum() for m in state.masks.values()),
         }
         new_state = state.replace(
