@@ -165,22 +165,31 @@ class Experiment:
             ),
             jnp.float32,
         )
-        old_logits, _ = jax.jit(
-            lambda p, s, m, x: forward(p, s, m, x, arch=self.arch, training=False)
-        )(self.state.params, self.state.batch_stats, self.state.masks, probe)
+        # probe in f32 with HIGHEST matmul precision regardless of the
+        # training dtype: TPU convs otherwise take bf16 passes even on f32
+        # inputs, and the masked vs re-sliced nets then legitimately round
+        # differently (different concat extents) — which would drown real
+        # slicing bugs
+        arch_f32 = dataclasses.replace(self.arch, compute_dtype="float32")
+        with jax.default_matmul_precision("highest"):
+            old_logits, _ = jax.jit(
+                lambda p, s, m, x: forward(p, s, m, x, arch=arch_f32, training=False)
+            )(self.state.params, self.state.batch_stats, self.state.masks, probe)
 
-        res = shrinklib.reslice(
-            self.arch, self.state.params, self.state.batch_stats,
-            self.state.masks, self.state.ema_params,
-        )
-        new_opt = shrinklib.reslice_opt_state(
-            jax.device_get(self.state.opt_state), self.arch, self.state.masks,
-            res.block_index_map,
-        )
-        new_logits, _ = jax.jit(
-            lambda p, s, m, x: forward(p, s, m, x, arch=res.arch, training=False)
-        )(res.params, res.batch_stats, res.masks, probe)
-        max_diff = float(jnp.max(jnp.abs(old_logits - new_logits)))
+            res = shrinklib.reslice(
+                self.arch, self.state.params, self.state.batch_stats,
+                self.state.masks, self.state.ema_params,
+            )
+            new_opt = shrinklib.reslice_opt_state(
+                jax.device_get(self.state.opt_state), self.arch, self.state.masks,
+                res.block_index_map,
+            )
+            new_arch_f32 = dataclasses.replace(res.arch, compute_dtype="float32")
+            new_logits, _ = jax.jit(
+                lambda p, s, m, x: forward(p, s, m, x, arch=new_arch_f32, training=False)
+            )(res.params, res.batch_stats, res.masks, probe)
+        scale = max(1.0, float(jnp.max(jnp.abs(old_logits))))
+        max_diff = float(jnp.max(jnp.abs(old_logits - new_logits))) / scale
 
         self.arch = res.arch
         self.state = self.state.replace(
@@ -191,7 +200,7 @@ class Experiment:
         self._build_steps()
         self.log.info(
             "re-slice @ step %d: %d blocks, %d atoms, %.2f MFLOPs, "
-            "logit max|diff|=%.2e, took %.1fs (recompile on next step)",
+            "logit rel max|diff|=%.2e, took %.1fs (recompile on next step)",
             step, self.arch.num_blocks, self.arch.live_atoms(),
             F.model_flops(self.arch, cfg.model.input_size) / 1e6,
             max_diff, time.perf_counter() - t0,

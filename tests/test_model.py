@@ -174,3 +174,16 @@ def test_forward_jits(tiny):
     # fused-vs-eager conv/BN reassociation differs; logits are ~0 at init so
     # only an absolute tolerance is meaningful here
     np.testing.assert_allclose(np.asarray(logits), np.asarray(ref), rtol=0, atol=1e-3)
+
+
+def test_width_mult_variants():
+    """width_mult scales all channel counts with divisor rounding."""
+    full = supernet_arch(tiny_cfg(width_mult=1.0))
+    half = supernet_arch(tiny_cfg(width_mult=0.5, round_divisor=4))
+    assert half.stem_channels <= full.stem_channels
+    assert half.blocks[1].cout < full.blocks[1].cout
+    params, stats = init_params(jax.random.key(0), half)
+    masks = init_masks(half)
+    x = jax.random.normal(jax.random.key(1), (2, 32, 32, 3))
+    logits, _ = forward(params, stats, masks, x, arch=half, training=False)
+    assert logits.shape == (2, 10)
