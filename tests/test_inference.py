@@ -1,0 +1,84 @@
+"""BN-folded inference export == eval-mode training forward."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from atomnas_tpu.config import BlockSetting, ModelConfig
+from atomnas_tpu.models import forward, init_masks, init_params, supernet_arch
+from atomnas_tpu.models.inference import fold_bn, forward_folded
+
+TINY = (
+    BlockSetting(t=1, c=8, n=1, s=1, ks=(3,)),
+    BlockSetting(t=2, c=16, n=2, s=2),
+    BlockSetting(t=2, c=24, n=1, s=2),
+)
+
+
+@pytest.mark.parametrize("se,act", [(0.0, "relu6"), (0.25, "swish")])
+def test_folded_matches_eval_forward(se, act):
+    cfg = ModelConfig(
+        num_classes=10, input_size=16, stem_channels=8, head_channels=32,
+        compute_dtype="float32", dropout=0.0, se_ratio=se, active_fn=act,
+        inverted_residual_setting=TINY,
+    )
+    arch = supernet_arch(cfg)
+    params, stats = init_params(jax.random.key(0), arch)
+    # non-trivial running stats (fresh init has mean=0/var=1 everywhere)
+    x_warm = jax.random.normal(jax.random.key(1), (8, 16, 16, 3))
+    _, stats = forward(
+        params, stats, init_masks(arch), x_warm, arch=arch, training=True,
+        rng=jax.random.key(2),
+    )
+
+    x = jax.random.normal(jax.random.key(3), (4, 16, 16, 3))
+    ref, _ = forward(params, stats, init_masks(arch), x, arch=arch, training=False)
+    folded = fold_bn(arch, params, stats)
+    got = forward_folded(folded, x, arch=arch)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_folded_has_no_bn_leaves():
+    cfg = ModelConfig(
+        num_classes=10, input_size=16, stem_channels=8, head_channels=32,
+        inverted_residual_setting=TINY,
+    )
+    arch = supernet_arch(cfg)
+    params, stats = init_params(jax.random.key(0), arch)
+    folded = fold_bn(arch, params, stats)
+    paths = [
+        jax.tree_util.keystr(p)
+        for p, _ in jax.tree_util.tree_flatten_with_path(folded)[0]
+    ]
+    assert not any("bn" in p for p in paths)
+
+
+def test_fold_after_reslice():
+    """The export path for a searched model: shrink -> re-slice -> fold."""
+    from atomnas_tpu.config import SearchConfig
+    from atomnas_tpu.search import shrink
+
+    cfg = ModelConfig(
+        num_classes=10, input_size=16, stem_channels=8, head_channels=32,
+        compute_dtype="float32", dropout=0.0, inverted_residual_setting=TINY,
+    )
+    arch = supernet_arch(cfg)
+    params, stats = init_params(jax.random.key(0), arch)
+    params = jax.device_get(params)
+    rng = np.random.RandomState(0)
+    for i in range(len(params["blocks"])):
+        g = rng.uniform(0, 0.3, np.asarray(params["blocks"][i]["bn2"]["scale"]).shape)
+        params["blocks"][i]["bn2"]["scale"] = jnp.asarray(g, jnp.float32)
+    params = jax.tree.map(jnp.asarray, params)
+    masks = shrink.update_masks(
+        params, init_masks(arch), arch,
+        SearchConfig(prune_threshold=0.15, min_atoms_nonresidual=1),
+    )
+    x = jax.random.normal(jax.random.key(5), (2, 16, 16, 3))
+    ref, _ = forward(params, stats, masks, x, arch=arch, training=False)
+
+    res = shrink.reslice(arch, params, stats, masks, params)
+    folded = fold_bn(res.arch, res.params, res.batch_stats)
+    got = forward_folded(folded, x, arch=res.arch)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
