@@ -57,6 +57,8 @@ def load_library() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.dl_failures.restype = ctypes.c_int64
+    lib.dl_failures.argtypes = [ctypes.c_void_p]
     lib.dl_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
@@ -69,9 +71,11 @@ class NativeTrainLoader:
                  threads: int = 8, seed: int = 0, ring: int = 4):
         if not files:
             raise FileNotFoundError("empty file list for native loader")
-        bad = [f for f in files[:1000] if not f.lower().endswith((".jpg", ".jpeg"))]
-        if bad:
-            raise ValueError(f"native loader handles JPEG only (saw {bad[0]})")
+        bad = next(
+            (f for f in files if not f.lower().endswith((".jpg", ".jpeg"))), None
+        )
+        if bad is not None:
+            raise ValueError(f"native loader handles JPEG only (saw {bad})")
         lib = load_library()
         self._lib = lib
         self._batch, self._size = batch, size
@@ -85,6 +89,8 @@ class NativeTrainLoader:
         )
         if not self._handle:
             raise OSError("dl_create failed")
+        self._batches = 0
+        self._warned_failures = 0
 
     def __iter__(self) -> Iterator[dict]:
         return self
@@ -99,7 +105,22 @@ class NativeTrainLoader:
         )
         if rc != 0:
             raise StopIteration
+        self._batches += 1
+        if self._batches % 100 == 0:
+            failures = self.failures()
+            if failures and failures != self._warned_failures:
+                import logging
+
+                logging.getLogger("atomnas").warning(
+                    "native loader: %d undecodable images so far "
+                    "(zero-filled with their labels kept)", failures,
+                )
+                self._warned_failures = failures
         return {"image": images, "label": labels}
+
+    def failures(self) -> int:
+        """Count of undecodable images (zero-filled) so far."""
+        return int(self._lib.dl_failures(self._handle))
 
     def close(self) -> None:
         if getattr(self, "_handle", None):

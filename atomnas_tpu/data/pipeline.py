@@ -225,12 +225,15 @@ def make_train_iter(cfg: DataConfig, seed: int = 0) -> Iterator[Batch]:
                                      learnable=cfg.dataset.endswith("learnable")))
     if cfg.dataset == "imagefolder":
         if cfg.use_native_decoder:
+            import subprocess
+
             try:
                 from atomnas_tpu.data import native_loader
 
                 return native_loader.make_train_iter(cfg, seed)
-            except (ImportError, OSError, FileNotFoundError):
-                pass  # fall back to tf.data
+            except (ImportError, OSError, FileNotFoundError, ValueError,
+                    subprocess.SubprocessError):
+                pass  # fall back to tf.data (no toolchain / non-JPEG files)
         return make_imagefolder_train(cfg, seed)()
     raise ValueError(f"unknown dataset {cfg.dataset!r}")
 

@@ -52,11 +52,7 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def _path_str(path) -> str:
-    parts = []
-    for p in path:
-        parts.append(str(getattr(p, "key", getattr(p, "idx", p))))
-    return "/".join(parts)
+from atomnas_tpu.utils.common import keypath_str as _path_str
 
 
 def param_shardings(mesh: Mesh, params: Dict[str, Any]):
@@ -101,6 +97,17 @@ def assert_replica_consistent(tree, name: str = "tree") -> None:
 
 
 def shard_batch(mesh: Mesh, batch: Dict[str, np.ndarray]):
-    """Host batch -> device arrays sharded over the data axis."""
+    """Host batch -> device arrays sharded over the data axis.
+
+    Single-process: a plain device_put. Multi-process (TPU slice): each
+    process holds only its LOCAL rows, so the global array must be assembled
+    with make_array_from_process_local_data — device_put with a global
+    sharding would mistake the local batch for the global one.
+    """
     sh = batch_sharding(mesh)
-    return jax.tree.map(lambda a: jax.device_put(a, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda a: jax.device_put(a, sh), batch)
+    return jax.tree.map(
+        lambda a: jax.make_array_from_process_local_data(sh, np.asarray(a)),
+        batch,
+    )

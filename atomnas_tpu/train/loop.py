@@ -100,12 +100,29 @@ class Experiment:
             self.state = create_train_state(params, stats, masks, self.tx)
             _, self.normalizer = penalty_weights(self.arch, cfg.model.input_size)
             self.shrink_events = 0
-        self.state = jax.device_put(self.state, meshlib.replicated(self.mesh))
+        self._place_state()
         self.log.info("arch:\n%s", arch_summary(self.arch))
         self.log.info(
             "model: %.2f MFLOPs, %.3f M params (live)",
             F.model_flops(self.arch, cfg.model.input_size, jax.device_get(self.state.masks)) / 1e6,
             F.model_params(self.arch, jax.device_get(self.state.masks)) / 1e6,
+        )
+
+    def _place_state(self) -> None:
+        """Place the state on the mesh: params/EMA via the sharding rules
+        (model-axis head/classifier when mesh.model > 1), rest replicated;
+        the optimizer state picks up matching shardings on the first jitted
+        step via propagation."""
+        pshard = meshlib.param_shardings(self.mesh, self.state.params)
+        rep = meshlib.replicated(self.mesh)
+        self.state = self.state.replace(
+            params=jax.tree.map(jax.device_put, self.state.params, pshard),
+            ema_params=jax.tree.map(jax.device_put, self.state.ema_params, pshard),
+            batch_stats=jax.device_put(self.state.batch_stats, rep),
+            masks=jax.device_put(self.state.masks, rep),
+            opt_state=jax.device_put(self.state.opt_state, rep),
+            step=jax.device_put(self.state.step, rep),
+            shrink_events=jax.device_put(self.state.shrink_events, rep),
         )
 
     def _build_steps(self) -> None:
@@ -196,7 +213,7 @@ class Experiment:
             params=res.params, batch_stats=res.batch_stats, masks=res.masks,
             ema_params=res.ema_params, opt_state=new_opt,
         )
-        self.state = jax.device_put(self.state, meshlib.replicated(self.mesh))
+        self._place_state()
         self._build_steps()
         self.log.info(
             "re-slice @ step %d: %d blocks, %d atoms, %.2f MFLOPs, "
@@ -213,12 +230,13 @@ class Experiment:
     # -- eval ----------------------------------------------------------------
 
     def evaluate(self, use_ema: bool = True) -> Dict[str, float]:
-        eval_iter_fn = pipeline.make_eval_iter(self.cfg.data)
+        if not hasattr(self, "_eval_iter_fn"):
+            self._eval_iter_fn = pipeline.make_eval_iter(self.cfg.data)
+        eval_iter_fn = self._eval_iter_fn
         params = self.state.ema_params if use_ema else self.state.params
         totals = {"correct1": 0.0, "correct5": 0.0, "count": 0.0, "sum_ce": 0.0}
-        sh = meshlib.batch_sharding(self.mesh)
         for batch in eval_iter_fn():
-            batch = jax.tree.map(lambda a: jax.device_put(a, sh), batch)
+            batch = meshlib.shard_batch(self.mesh, batch)
             out = self._eval_step(params, self.state.batch_stats, self.state.masks, batch)
             for k in totals:
                 totals[k] += float(out[k])
@@ -243,9 +261,11 @@ class Experiment:
         rng = jax.device_put(
             jax.random.key(cfg.run.seed), meshlib.replicated(self.mesh)
         )
-        sh = meshlib.batch_sharding(self.mesh)
-        meters = {k: AverageMeter() for k in ("loss", "ce", "penalty", "top1")}
+        meters_keys = ("loss", "ce", "penalty", "top1")
+        msum = None  # device-side metric sums; fetched only at log intervals
+        msteps = 0
         tput = ThroughputMeter()
+        profiling = False
         last_eval = {}
         start = int(jax.device_get(self.state.step))
         self.log.info(
@@ -257,26 +277,34 @@ class Experiment:
         for step in range(start, self.total_steps):
             if cfg.run.profile and step == start + 10:
                 jax.profiler.start_trace(str(pathlib.Path(cfg.run.log_dir) / "trace"))
+                profiling = True
             batch = next(train_iter)
-            batch = jax.tree.map(lambda a: jax.device_put(a, sh), batch)
+            batch = meshlib.shard_batch(self.mesh, batch)
             self.state, metrics = self._train_step(self.state, batch, rng)
-            for k in meters:
-                meters[k].update(float(metrics[k]))
+            # accumulate metric SUMS on device: no host sync in the hot loop
+            part = {k: metrics[k] for k in meters_keys}
+            msum = part if msum is None else jax.tree.map(jnp.add, msum, part)
+            msteps += 1
             tput.update(cfg.data.batch_size)
-            if cfg.run.profile and step == start + 20:
+            if profiling and step == start + 20:
                 jax.profiler.stop_trace()
+                profiling = False
 
             if (step + 1) % cfg.run.log_interval_steps == 0:
-                row = {k: m.avg for k, m in meters.items()}
+                sums = jax.device_get(msum)
+                last = jax.device_get(
+                    {k: metrics[k] for k in ("lr", "live_mflops", "live_atoms")}
+                )
+                row = {k: float(v) / msteps for k, v in sums.items()}
                 row.update(
-                    lr=float(metrics["lr"]),
-                    live_mflops=float(metrics["live_mflops"]),
-                    live_atoms=float(metrics["live_atoms"]),
+                    lr=float(last["lr"]),
+                    live_mflops=float(last["live_mflops"]),
+                    live_atoms=float(last["live_atoms"]),
                     images_per_sec=tput.rate(),
                     images_per_sec_chip=tput.rate_per_chip(),
                     epoch=step // self.steps_per_epoch,
                 )
-                self.writer.write(step + 1, row)
+                self.writer.write(step + 1, row, stream="train")
                 self.log.info(
                     "step %d/%d ep%d loss=%.3f ce=%.3f pen=%.4f top1=%.3f "
                     "lr=%.4f live=%.1fMF %d img/s (%d /chip)",
@@ -285,8 +313,8 @@ class Experiment:
                     row["live_mflops"], row["images_per_sec"],
                     row["images_per_sec_chip"],
                 )
-                for m in meters.values():
-                    m.reset()
+                msum = None
+                msteps = 0
                 tput.reset()
 
             if (
@@ -304,7 +332,11 @@ class Experiment:
                     epoch % max(cfg.run.eval_interval_epochs, 1) == 0 or is_last
                 ):
                     last_eval = self.evaluate(use_ema=True)
-                    self.writer.write(step + 1, {f"eval_{k}": v for k, v in last_eval.items()})
+                    self.writer.write(
+                        step + 1,
+                        {f"eval_{k}": v for k, v in last_eval.items()},
+                        stream="eval",
+                    )
                     self.log.info(
                         "eval @ step %d: top1=%.4f top5=%.4f ce=%.4f",
                         step + 1, last_eval["top1"], last_eval["top5"],
@@ -320,6 +352,9 @@ class Experiment:
                         keep=cfg.run.keep_checkpoints,
                     )
                     self.log.info("checkpoint: %s", path)
+
+        if profiling:
+            jax.profiler.stop_trace()
 
         # final export: re-slice to the searched compact model
         if cfg.search.enabled:

@@ -20,16 +20,7 @@ Params = Dict[str, Any]
 from atomnas_tpu.config import OptimConfig
 
 
-def _path_str(path) -> str:
-    parts = []
-    for p in path:
-        if hasattr(p, "key"):
-            parts.append(str(p.key))
-        elif hasattr(p, "idx"):
-            parts.append(str(p.idx))
-        else:
-            parts.append(str(p))
-    return "/".join(parts)
+from atomnas_tpu.utils.common import keypath_str as _path_str
 
 
 def weight_decay_mask(params: Params) -> Params:

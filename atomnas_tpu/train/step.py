@@ -209,14 +209,16 @@ def make_eval_step(arch: ModelArch, dcfg: Optional[DataConfig] = None,
         valid = batch.get("valid")
         if valid is None:
             valid = jnp.ones_like(labels, jnp.float32)
+        # per-example CE summed over VALID rows only (padded rows would
+        # otherwise bias the mean)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        onehot = jax.nn.one_hot(labels, arch.num_classes, dtype=jnp.float32)
+        ce_per_row = -jnp.sum(onehot * logp, axis=-1)
         return {
             "correct1": losses.top_k_correct(logits, labels, 1, valid),
             "correct5": losses.top_k_correct(logits, labels, 5, valid),
             "count": jnp.sum(valid.astype(jnp.float32)),
-            "sum_ce": losses.cross_entropy(
-                logits, losses.smooth_labels(labels, arch.num_classes, 0.0)
-            )
-            * jnp.sum(valid.astype(jnp.float32)),
+            "sum_ce": jnp.sum(ce_per_row * valid.astype(jnp.float32)),
         }
 
     return eval_step

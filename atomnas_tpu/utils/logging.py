@@ -78,29 +78,36 @@ class ThroughputMeter:
 
 
 class MetricWriter:
-    """Append-only CSV + JSONL metric stream under log_dir."""
+    """Append-only per-stream CSVs + one combined JSONL under log_dir.
+
+    Streams (train/eval/...) get separate CSV files so rows always align
+    with their header; the JSONL carries everything."""
 
     def __init__(self, log_dir: str | pathlib.Path):
         self.dir = pathlib.Path(log_dir)
         self.dir.mkdir(parents=True, exist_ok=True)
-        self._csv = self.dir / "metrics.csv"
         self._jsonl = self.dir / "metrics.jsonl"
-        self._header_written = self._csv.exists()
+        self._headers: Dict[str, list] = {}
 
-    def write(self, step: int, metrics: Dict[str, Any]) -> None:
+    def write(self, step: int, metrics: Dict[str, Any], stream: str = "train") -> None:
         row = {"step": step}
         for k, v in metrics.items():
             try:
                 row[k] = float(v)
             except (TypeError, ValueError):
                 row[k] = v
-        if not self._header_written:
-            self._csv.write_text(",".join(row.keys()) + "\n")
-            self._header_written = True
-        with self._csv.open("a") as f:
-            f.write(",".join(str(v) for v in row.values()) + "\n")
+        csv = self.dir / f"metrics_{stream}.csv"
+        if stream not in self._headers:
+            if csv.exists():  # resumed run: reuse the existing column order
+                self._headers[stream] = csv.read_text().splitlines()[0].split(",")
+            else:
+                self._headers[stream] = list(row.keys())
+                csv.write_text(",".join(row.keys()) + "\n")
+        cols = self._headers[stream]
+        with csv.open("a") as f:
+            f.write(",".join(str(row.get(c, "")) for c in cols) + "\n")
         with self._jsonl.open("a") as f:
-            f.write(json.dumps(row) + "\n")
+            f.write(json.dumps({"stream": stream, **row}) + "\n")
 
     def dump_arch(self, step: int, arch_json: str, masks_summary: Dict[str, Any]) -> None:
         path = self.dir / "arch_events.jsonl"

@@ -208,6 +208,7 @@ struct Loader {
   std::atomic<int64_t> next_sample{0};
   std::vector<int64_t> completed;  // per ring slot: highest complete batch_id+1
   std::atomic<bool> stop{false};
+  std::atomic<int64_t> decode_failures{0};
   std::vector<std::thread> workers;
 
   // per-epoch shuffled order
@@ -297,7 +298,10 @@ struct Loader {
         }
       }
     }
-    if (!ok) std::memset(out, 0, size_t(size) * size * 3);  // corrupt file
+    if (!ok) {
+      decode_failures.fetch_add(1);
+      std::memset(out, 0, size_t(size) * size * 3);  // corrupt file
+    }
   }
 };
 
@@ -353,6 +357,10 @@ int32_t dl_next(void* handle, uint8_t* out_images, int32_t* out_labels) {
     ld->cv_space.notify_all();
   }
   return 0;
+}
+
+int64_t dl_failures(void* handle) {
+  return static_cast<Loader*>(handle)->decode_failures.load();
 }
 
 void dl_destroy(void* handle) {

@@ -138,9 +138,13 @@ def test_meters_and_writer(tmp_path):
     w = MetricWriter(tmp_path)
     w.write(1, {"loss": 2.0})
     w.write(2, {"loss": 1.0})
-    lines = (tmp_path / "metrics.csv").read_text().strip().splitlines()
+    w.write(2, {"top1": 0.5}, stream="eval")
+    lines = (tmp_path / "metrics_train.csv").read_text().strip().splitlines()
     assert lines[0] == "step,loss"
     assert len(lines) == 3
+    eval_lines = (tmp_path / "metrics_eval.csv").read_text().strip().splitlines()
+    assert eval_lines[0] == "step,top1"
+    assert len((tmp_path / "metrics.jsonl").read_text().strip().splitlines()) == 3
 
     t = ThroughputMeter(num_chips=2)
     t.update(100)

@@ -70,3 +70,20 @@ def test_imagefolder_pipeline(tmp_path):
 def test_steps_per_epoch():
     cfg = DataConfig(batch_size=256, train_examples=1000)
     assert pipeline.steps_per_epoch(cfg) == 3
+
+
+def test_prep_images_normalization():
+    import jax.numpy as jnp
+
+    from atomnas_tpu.train.step import prep_images
+
+    cfg = DataConfig(mean=(0.5, 0.5, 0.5), std=(0.25, 0.25, 0.25))
+    img = np.zeros((1, 2, 2, 3), np.uint8)
+    img[..., 0] = 255  # R channel max
+    out = np.asarray(prep_images(jnp.asarray(img), cfg))
+    # (255 - 0.5*255) / (0.25*255) = 2.0 ; (0 - 127.5) / 63.75 = -2.0
+    np.testing.assert_allclose(out[..., 0], 2.0, rtol=1e-5)
+    np.testing.assert_allclose(out[..., 1], -2.0, rtol=1e-5)
+    # float input passes through untouched
+    f = jnp.ones((1, 2, 2, 3), jnp.float32) * 0.3
+    np.testing.assert_array_equal(np.asarray(prep_images(f, cfg)), np.asarray(f))

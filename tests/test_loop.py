@@ -60,7 +60,8 @@ def test_fixed_supernet_smoke(tmp_path):
     assert 0 <= summary["final_top1"] <= 1
     assert summary["final_eval_examples"] == 24
     run = pathlib.Path(cfg.run.log_dir)
-    assert (run / "metrics.csv").exists()
+    assert (run / "metrics_train.csv").exists()
+    assert (run / "metrics_eval.csv").exists()
     assert (run / "summary.json").exists()
     assert (run / "checkpoints" / "step_00000008" / "meta.json").exists()
 

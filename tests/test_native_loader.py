@@ -90,10 +90,12 @@ def test_corrupt_jpeg_yields_zero_sample(lib, tmp_path):
     loader = lib.NativeTrainLoader([str(p)], [7], batch=2, size=8, threads=1)
     try:
         b = next(loader)
+        loader_failures = loader.failures()
     finally:
         loader.close()
     assert b["image"].sum() == 0  # graceful zero-fill, no crash
     assert list(b["label"]) == [7, 7]
+    assert loader_failures >= 2
 
 
 def test_pipeline_integration(lib, dataset, monkeypatch):

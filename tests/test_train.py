@@ -211,7 +211,8 @@ def test_train_step_on_8_device_mesh_matches_single_device():
 
 
 def test_model_axis_sharding_runs():
-    """2D mesh (4 data x 2 model): head/classifier sharded on model axis."""
+    """2D mesh (4 data x 2 model): head/classifier sharded on model axis,
+    and a full TRAIN step preserves the sharded layout."""
     arch, mcfg, state, step, _ = make_setup(search=False)
     mesh = meshlib.make_mesh(MeshConfig(data=4, model=2))
     shardings = meshlib.param_shardings(mesh, state.params)
@@ -223,3 +224,19 @@ def test_model_axis_sharding_runs():
     ev = jax.jit(make_eval_step(arch))
     out = ev(params, state.batch_stats, state.masks, batch)
     assert float(out["count"]) == 16.0
+
+    rep = meshlib.replicated(mesh)
+    state = state.replace(
+        params=params,
+        ema_params=jax.tree.map(jax.device_put, state.ema_params, shardings),
+        batch_stats=jax.device_put(state.batch_stats, rep),
+        masks=jax.device_put(state.masks, rep),
+        opt_state=jax.device_put(state.opt_state, rep),
+        step=jax.device_put(state.step, rep),
+        shrink_events=jax.device_put(state.shrink_events, rep),
+    )
+    new_state, metrics = jax.jit(step)(state, batch, jax.device_put(jax.random.key(0), rep))
+    assert np.isfinite(float(metrics["loss"]))
+    # the classifier kernel stays model-axis sharded through the update
+    spec = new_state.params["classifier"]["w"].sharding.spec
+    assert "model" in str(spec)
