@@ -76,7 +76,7 @@ class ModelConfig:
 
 @dataclasses.dataclass(frozen=True)
 class DataConfig:
-    dataset: str = "synthetic"  # "synthetic" | "imagefolder" | "tfds"
+    dataset: str = "synthetic"  # synthetic | synthetic_learnable | imagefolder
     root: str = ""  # dataset root for imagefolder
     num_classes: int = 1000
     image_size: int = 224

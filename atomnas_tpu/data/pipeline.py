@@ -251,3 +251,44 @@ def make_eval_iter(cfg: DataConfig) -> Any:
 
 def steps_per_epoch(cfg: DataConfig) -> int:
     return max(cfg.train_examples // cfg.batch_size, 1)
+
+
+def device_prefetch(iterator: Iterator[Batch], mesh, size: int = 2) -> Iterator[Batch]:
+    """Stage host batches onto the mesh ``size`` steps ahead of consumption.
+
+    Overlaps host->device transfer with device compute (the DALI-iterator
+    double-buffering equivalent): a daemon thread pulls host batches and
+    issues the (async) device_put/global-assembly while the previous step
+    runs. Without this the transfer serializes with the step — severe on
+    tunneled/remote device links.
+    """
+    import queue
+    import threading
+
+    from atomnas_tpu.parallel import mesh as meshlib
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    stop = threading.Event()
+
+    def producer():
+        try:
+            for batch in iterator:
+                if stop.is_set():
+                    return
+                q.put(meshlib.shard_batch(mesh, batch))
+        except Exception as e:  # surface errors at the consumer
+            q.put(e)
+        q.put(None)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, Exception):
+                raise item
+            yield item
+    finally:
+        stop.set()

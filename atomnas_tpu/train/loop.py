@@ -257,7 +257,11 @@ class Experiment:
             self.log.info("test_only: %s", metrics)
             return metrics
 
-        train_iter = pipeline.make_train_iter(cfg.data, seed=cfg.run.seed)
+        train_iter = pipeline.device_prefetch(
+            pipeline.make_train_iter(cfg.data, seed=cfg.run.seed),
+            self.mesh,
+            size=max(cfg.data.prefetch, 1),
+        )
         rng = jax.device_put(
             jax.random.key(cfg.run.seed), meshlib.replicated(self.mesh)
         )
@@ -278,8 +282,7 @@ class Experiment:
             if cfg.run.profile and step == start + 10:
                 jax.profiler.start_trace(str(pathlib.Path(cfg.run.log_dir) / "trace"))
                 profiling = True
-            batch = next(train_iter)
-            batch = meshlib.shard_batch(self.mesh, batch)
+            batch = next(train_iter)  # already staged on device (prefetch)
             self.state, metrics = self._train_step(self.state, batch, rng)
             # accumulate metric SUMS on device: no host sync in the hot loop
             part = {k: metrics[k] for k in meters_keys}
