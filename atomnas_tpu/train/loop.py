@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import pathlib
+import signal
 import time
 from typing import Any, Dict, Iterator, Optional, Tuple
 
@@ -257,6 +258,20 @@ class Experiment:
             self.log.info("test_only: %s", metrics)
             return metrics
 
+        # graceful preemption: SIGTERM/SIGINT checkpoint-and-exit (TPU pools
+        # preempt with SIGTERM; reference crashes and relies on relaunch)
+        interrupted = {"flag": False}
+
+        def _on_signal(signum, frame):
+            interrupted["flag"] = True
+
+        prev_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                prev_handlers[sig] = signal.signal(sig, _on_signal)
+            except ValueError:  # not the main thread (tests)
+                pass
+
         train_iter = pipeline.device_prefetch(
             pipeline.make_train_iter(cfg.data, seed=cfg.run.seed),
             self.mesh,
@@ -279,6 +294,18 @@ class Experiment:
         )
 
         for step in range(start, self.total_steps):
+            if interrupted["flag"]:
+                path = ckptlib.save_checkpoint(
+                    self.ckpt_dir, self.state, self.arch,
+                    normalizer=self.normalizer, keep=cfg.run.keep_checkpoints,
+                )
+                self.log.info(
+                    "interrupted at step %d: checkpointed to %s, exiting",
+                    step, path,
+                )
+                for sig, h in prev_handlers.items():
+                    signal.signal(sig, h)
+                return {"interrupted_at": step, "checkpoint": str(path)}
             if cfg.run.profile and step == start + 10:
                 jax.profiler.start_trace(str(pathlib.Path(cfg.run.log_dir) / "trace"))
                 profiling = True
@@ -358,6 +385,8 @@ class Experiment:
 
         if profiling:
             jax.profiler.stop_trace()
+        for sig, h in prev_handlers.items():
+            signal.signal(sig, h)
 
         # final export: re-slice to the searched compact model
         if cfg.search.enabled:

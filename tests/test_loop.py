@@ -108,3 +108,23 @@ def test_test_only_eval(tmp_path):
     cfg2 = config_from_dict(d)
     metrics = train_and_eval(cfg2)
     assert "top1" in metrics and metrics["eval_examples"] == 24
+
+
+def test_sigterm_checkpoints_and_exits(tmp_path):
+    """Preemption handling: SIGTERM mid-training saves a checkpoint and
+    returns instead of dying (resume then continues)."""
+    import os
+    import signal
+    import threading
+
+    cfg = make_cfg(tmp_path, **{"search.enabled": False, "optim.epochs": 50})
+    threading.Timer(8.0, lambda: os.kill(os.getpid(), signal.SIGTERM)).start()
+    out = train_and_eval(cfg)
+    assert "interrupted_at" in out
+    assert pathlib.Path(out["checkpoint"]).exists()
+
+    # resume completes the remaining steps from the interruption point
+    cfg2 = make_cfg(tmp_path, **{"search.enabled": False, "optim.epochs": 50})
+    d = json.loads(json.dumps(TINY))
+    summary = train_and_eval(cfg2)
+    assert summary["final_step"] == 50 * 4  # 4 steps/epoch at these sizes
