@@ -177,6 +177,13 @@ class RunConfig:
     # multi-host TPU slice: call jax.distributed.initialize() at startup
     # (reference parity: utils/distributed.py :: init_dist, SURVEY.md sec 2.4)
     multihost: bool = False
+    # BN recalibration for EMA eval: run N train-mode batches through the
+    # EMA weights to refresh running stats before evaluating (slimmable-nets
+    # practice). 0 = evaluate EMA with the live model's running stats (the
+    # reference's behavior) — fine for long gentle schedules, but EMA-lagged
+    # conv scales compound across ~34 BN layers under aggressive short
+    # schedules and can collapse eval accuracy.
+    ema_bn_recal_steps: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

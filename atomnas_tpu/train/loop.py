@@ -142,6 +142,18 @@ class Experiment:
         self._eval_step = jax.jit(
             make_eval_step(self.arch, cfg.data, use_pallas=cfg.run.use_pallas)
         )
+        arch = self.arch
+
+        def recal(params, stats, masks, images):
+            from atomnas_tpu.train.step import prep_images
+
+            _, new_stats = forward(
+                params, stats, masks, prep_images(images, cfg.data),
+                arch=arch, training=True, rng=jax.random.key(0),
+            )
+            return new_stats
+
+        self._recal_step = jax.jit(recal)
 
     # -- shrinkage -----------------------------------------------------------
 
@@ -235,10 +247,20 @@ class Experiment:
             self._eval_iter_fn = pipeline.make_eval_iter(self.cfg.data)
         eval_iter_fn = self._eval_iter_fn
         params = self.state.ema_params if use_ema else self.state.params
+        stats = self.state.batch_stats
+        if use_ema and self.cfg.run.ema_bn_recal_steps > 0:
+            if not hasattr(self, "_recal_iter"):
+                self._recal_iter = pipeline.make_train_iter(
+                    self.cfg.data, seed=self.cfg.run.seed + 1
+                )
+            for _ in range(self.cfg.run.ema_bn_recal_steps):
+                b = next(self._recal_iter)
+                img = meshlib.shard_batch(self.mesh, {"image": b["image"]})["image"]
+                stats = self._recal_step(params, stats, self.state.masks, img)
         totals = {"correct1": 0.0, "correct5": 0.0, "count": 0.0, "sum_ce": 0.0}
         for batch in eval_iter_fn():
             batch = meshlib.shard_batch(self.mesh, batch)
-            out = self._eval_step(params, self.state.batch_stats, self.state.masks, batch)
+            out = self._eval_step(params, stats, self.state.masks, batch)
             for k in totals:
                 totals[k] += float(out[k])
         n = max(totals["count"], 1.0)

@@ -128,3 +128,55 @@ def test_sigterm_checkpoints_and_exits(tmp_path):
     d = json.loads(json.dumps(TINY))
     summary = train_and_eval(cfg2)
     assert summary["final_step"] == 50 * 4  # 4 steps/epoch at these sizes
+
+
+def test_ema_bn_recalibration(tmp_path):
+    """EMA eval with stale running stats vs recalibrated stats.
+
+    BN is scale-invariant to its input conv kernels: scaling every conv by 2
+    changes nothing AFTER recalibrating the running stats, but evaluating
+    the scaled weights against the ORIGINAL stats is garbage. So: recal eval
+    must recover the raw-params accuracy; no-recal eval must not.
+    """
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+
+    from atomnas_tpu.train.loop import Experiment
+
+    cfg = make_cfg(
+        tmp_path,
+        **{"search.enabled": False, "optim.epochs": 10,
+           "data.dataset": "synthetic_learnable"},
+    )
+    exp = Experiment(cfg)
+    exp.train()
+    base = exp.evaluate(use_ema=False)
+
+    # forge EMA = params with all conv kernels scaled x2
+    p = copy.deepcopy(jax.device_get(exp.state.params))
+    p["stem"]["w"] = p["stem"]["w"] * 2
+    p["head"]["w"] = p["head"]["w"] * 2
+    for blk in p["blocks"]:
+        for key in ("pw1", "pw2"):
+            if key in blk:
+                blk[key] = blk[key] * 2
+        blk["dw"] = {k: v * 2 for k, v in blk["dw"].items()}
+    exp.state = exp.state.replace(ema_params=jax.tree.map(jnp.asarray, p))
+
+    import dataclasses
+
+    exp.cfg = dataclasses.replace(
+        cfg, run=dataclasses.replace(cfg.run, ema_bn_recal_steps=0)
+    )
+    stale = exp.evaluate(use_ema=True)
+
+    exp.cfg = dataclasses.replace(
+        cfg, run=dataclasses.replace(cfg.run, ema_bn_recal_steps=40)
+    )
+    recal = exp.evaluate(use_ema=True)
+
+    # recalibration recovers the raw model's quality; stale stats do not
+    assert abs(recal["eval_ce"] - base["eval_ce"]) < 0.15, (recal, base)
+    assert stale["eval_ce"] > recal["eval_ce"] + 0.5, (stale, recal)
