@@ -120,6 +120,8 @@ class NativeTrainLoader:
 
     def failures(self) -> int:
         """Count of undecodable images (zero-filled) so far."""
+        if not getattr(self, "_handle", None):
+            return self._warned_failures  # closed: last observed count
         return int(self._lib.dl_failures(self._handle))
 
     def close(self) -> None:

@@ -47,9 +47,14 @@ class SyntheticDataset:
     def __init__(self, cfg: DataConfig, *, train: bool, seed: int = 0,
                  learnable: bool = False):
         self.cfg = cfg
-        n = cfg.train_examples if train else cfg.eval_examples
-        self.n = max(n, cfg.batch_size if train else cfg.eval_batch_size)
-        self.batch = cfg.batch_size if train else cfg.eval_batch_size
+        # local-rows contract: every pipeline yields per-PROCESS batches
+        # (parallel/mesh.py assembles the global array on multi-host)
+        pc, pi = jax.process_count(), jax.process_index()
+        n = (cfg.train_examples if train else cfg.eval_examples) // pc
+        batch = (cfg.batch_size if train else cfg.eval_batch_size) // pc
+        seed = seed + pi * 7919  # distinct data per host
+        self.n = max(n, batch)
+        self.batch = batch
         size = cfg.image_size if train else cfg.eval_size
         rng = np.random.RandomState(seed + (0 if train else 1))
         # small pool of unique images cycled to keep memory bounded
@@ -270,15 +275,23 @@ def device_prefetch(iterator: Iterator[Batch], mesh, size: int = 2) -> Iterator[
     q: "queue.Queue" = queue.Queue(maxsize=size)
     stop = threading.Event()
 
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def producer():
         try:
             for batch in iterator:
-                if stop.is_set():
-                    return
-                q.put(meshlib.shard_batch(mesh, batch))
+                if not _put(meshlib.shard_batch(mesh, batch)):
+                    return  # consumer gone: drop staged work, free the loader
         except Exception as e:  # surface errors at the consumer
-            q.put(e)
-        q.put(None)
+            _put(e)
+        _put(None)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()

@@ -73,6 +73,24 @@ def param_shardings(mesh: Mesh, params: Dict[str, Any]):
     return jax.tree_util.tree_map_with_path(decide, params)
 
 
+def place_state(mesh: Mesh, state):
+    """Place a TrainState on the mesh: params/EMA via the sharding rules
+    (model-axis head/classifier when mesh.model > 1), everything else
+    replicated. The optimizer state picks up matching shardings on the first
+    jitted step via propagation."""
+    pshard = param_shardings(mesh, state.params)
+    rep = replicated(mesh)
+    return state.replace(
+        params=jax.tree.map(jax.device_put, state.params, pshard),
+        ema_params=jax.tree.map(jax.device_put, state.ema_params, pshard),
+        batch_stats=jax.device_put(state.batch_stats, rep),
+        masks=jax.device_put(state.masks, rep),
+        opt_state=jax.device_put(state.opt_state, rep),
+        step=jax.device_put(state.step, rep),
+        shrink_events=jax.device_put(state.shrink_events, rep),
+    )
+
+
 def assert_replica_consistent(tree, name: str = "tree") -> None:
     """Assert a replicated pytree holds identical bytes on every device.
 

@@ -42,12 +42,7 @@ from atomnas_tpu.train.state import TrainState, create_train_state
 from atomnas_tpu.train.step import make_eval_step, make_train_step
 from atomnas_tpu.utils import checkpoint as ckptlib
 from atomnas_tpu.utils.common import set_random_seed
-from atomnas_tpu.utils.logging import (
-    AverageMeter,
-    MetricWriter,
-    ThroughputMeter,
-    setup_logging,
-)
+from atomnas_tpu.utils.logging import MetricWriter, ThroughputMeter, setup_logging
 
 
 class Experiment:
@@ -110,21 +105,7 @@ class Experiment:
         )
 
     def _place_state(self) -> None:
-        """Place the state on the mesh: params/EMA via the sharding rules
-        (model-axis head/classifier when mesh.model > 1), rest replicated;
-        the optimizer state picks up matching shardings on the first jitted
-        step via propagation."""
-        pshard = meshlib.param_shardings(self.mesh, self.state.params)
-        rep = meshlib.replicated(self.mesh)
-        self.state = self.state.replace(
-            params=jax.tree.map(jax.device_put, self.state.params, pshard),
-            ema_params=jax.tree.map(jax.device_put, self.state.ema_params, pshard),
-            batch_stats=jax.device_put(self.state.batch_stats, rep),
-            masks=jax.device_put(self.state.masks, rep),
-            opt_state=jax.device_put(self.state.opt_state, rep),
-            step=jax.device_put(self.state.step, rep),
-            shrink_events=jax.device_put(self.state.shrink_events, rep),
-        )
+        self.state = meshlib.place_state(self.mesh, self.state)
 
     def _build_steps(self) -> None:
         cfg = self.cfg
@@ -303,11 +284,7 @@ class Experiment:
             jax.random.key(cfg.run.seed), meshlib.replicated(self.mesh)
         )
         meters_keys = ("loss", "ce", "penalty", "top1")
-        msum = None  # device-side metric sums; fetched only at log intervals
-        msteps = 0
         tput = ThroughputMeter()
-        profiling = False
-        last_eval = {}
         start = int(jax.device_get(self.state.step))
         self.log.info(
             "training: steps %d..%d (%d/epoch), global batch %d, mesh %s",
@@ -315,8 +292,27 @@ class Experiment:
             cfg.data.batch_size, dict(self.mesh.shape),
         )
 
+        try:
+            return self._train_loop(
+                cfg, train_iter, rng, meters_keys, tput, start, interrupted,
+            )
+        finally:
+            for sig, h in prev_handlers.items():
+                try:
+                    signal.signal(sig, h)
+                except ValueError:
+                    pass
+
+    def _train_loop(self, cfg, train_iter, rng, meters_keys, tput, start,
+                    interrupted):
+        msum = None  # device-side metric sums; fetched only at log intervals
+        msteps = 0
+        profiling = False
+        last_eval = {}
         for step in range(start, self.total_steps):
             if interrupted["flag"]:
+                if profiling:
+                    jax.profiler.stop_trace()
                 path = ckptlib.save_checkpoint(
                     self.ckpt_dir, self.state, self.arch,
                     normalizer=self.normalizer, keep=cfg.run.keep_checkpoints,
@@ -325,8 +321,6 @@ class Experiment:
                     "interrupted at step %d: checkpointed to %s, exiting",
                     step, path,
                 )
-                for sig, h in prev_handlers.items():
-                    signal.signal(sig, h)
                 return {"interrupted_at": step, "checkpoint": str(path)}
             if cfg.run.profile and step == start + 10:
                 jax.profiler.start_trace(str(pathlib.Path(cfg.run.log_dir) / "trace"))
@@ -407,8 +401,6 @@ class Experiment:
 
         if profiling:
             jax.profiler.stop_trace()
-        for sig, h in prev_handlers.items():
-            signal.signal(sig, h)
 
         # final export: re-slice to the searched compact model
         if cfg.search.enabled:

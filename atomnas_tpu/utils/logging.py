@@ -98,9 +98,10 @@ class MetricWriter:
                 row[k] = v
         csv = self.dir / f"metrics_{stream}.csv"
         if stream not in self._headers:
-            if csv.exists():  # resumed run: reuse the existing column order
-                self._headers[stream] = csv.read_text().splitlines()[0].split(",")
-            else:
+            existing = csv.read_text().splitlines() if csv.exists() else []
+            if existing:  # resumed run: reuse the existing column order
+                self._headers[stream] = existing[0].split(",")
+            else:  # fresh (or truncated by a kill): (re)write the header
                 self._headers[stream] = list(row.keys())
                 csv.write_text(",".join(row.keys()) + "\n")
         cols = self._headers[stream]

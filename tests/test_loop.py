@@ -118,16 +118,26 @@ def test_sigterm_checkpoints_and_exits(tmp_path):
     import threading
 
     cfg = make_cfg(tmp_path, **{"search.enabled": False, "optim.epochs": 50})
-    threading.Timer(8.0, lambda: os.kill(os.getpid(), signal.SIGTERM)).start()
-    out = train_and_eval(cfg)
+    timer = threading.Timer(8.0, lambda: os.kill(os.getpid(), signal.SIGTERM))
+    timer.start()
+    try:
+        out = train_and_eval(cfg)
+    finally:
+        timer.cancel()  # never let a stray SIGTERM hit the pytest process
     assert "interrupted_at" in out
     assert pathlib.Path(out["checkpoint"]).exists()
+    interrupted_step = out["interrupted_at"]
 
     # resume completes the remaining steps from the interruption point
     cfg2 = make_cfg(tmp_path, **{"search.enabled": False, "optim.epochs": 50})
-    d = json.loads(json.dumps(TINY))
     summary = train_and_eval(cfg2)
     assert summary["final_step"] == 50 * 4  # 4 steps/epoch at these sizes
+    # and it genuinely resumed (did not restart from scratch)
+    import re
+
+    log = (pathlib.Path(cfg2.run.log_dir) / "train.log").read_text()
+    m = re.findall(r"restored step (\d+)", log)
+    assert m and int(m[-1]) == interrupted_step
 
 
 def test_ema_bn_recalibration(tmp_path):
