@@ -26,11 +26,30 @@ Params = Dict[str, Any]
 
 
 def penalty_weights(
-    arch: ModelArch, input_size: int, normalizer: float | None = None
+    arch: ModelArch,
+    input_size: int,
+    normalizer: float | None = None,
+    flops_weighted: bool = True,
 ) -> tuple[Dict[str, np.ndarray], float]:
     """Per-atom penalty weights keyed like the mask pytree, and the
     normalizer used (pass it back in after re-slicing so weights keep the
-    supernet-init normalization)."""
+    supernet-init normalization).
+
+    ``flops_weighted=False`` gives every searchable atom weight 1.0 — the
+    plain network-slimming L1 of the paper's uniform-penalty ablation
+    (reference: utils/prune.py resource-aware vs uniform comparison,
+    SURVEY.md sec 2.1 shrinkage row).
+    """
+    if not flops_weighted:
+        weights = {
+            f"block_{i}": (
+                np.ones((b.total_hidden,), np.float32)
+                if b.searchable
+                else np.zeros((b.total_hidden,), np.float32)
+            )
+            for i, b in enumerate(arch.blocks)
+        }
+        return weights, 1.0
     per_atom = F.atom_flops(arch, input_size)
     searchable = [
         per_atom[f"block_{i}"]

@@ -94,7 +94,10 @@ class Experiment:
             params, stats = init_params(jax.random.key(cfg.run.seed), self.arch)
             masks = init_masks(self.arch)
             self.state = create_train_state(params, stats, masks, self.tx)
-            _, self.normalizer = penalty_weights(self.arch, cfg.model.input_size)
+            _, self.normalizer = penalty_weights(
+                self.arch, cfg.model.input_size,
+                flops_weighted=cfg.search.flops_weighted,
+            )
             self.shrink_events = 0
         self._place_state()
         self.log.info("arch:\n%s", arch_summary(self.arch))
@@ -110,7 +113,8 @@ class Experiment:
     def _build_steps(self) -> None:
         cfg = self.cfg
         pw, _ = penalty_weights(
-            self.arch, cfg.model.input_size, normalizer=self.normalizer
+            self.arch, cfg.model.input_size, normalizer=self.normalizer,
+            flops_weighted=cfg.search.flops_weighted,
         )
         self._train_step = jax.jit(
             make_train_step(

@@ -122,6 +122,24 @@ def test_penalty_weights_and_term():
     np.testing.assert_allclose(got, 1e-3 * pw["block_1"], rtol=1e-6)
 
 
+def test_penalty_weights_uniform_ablation():
+    """search.flops_weighted=false -> plain (uniform) L1, the paper's
+    resource-aware-vs-uniform ablation (SURVEY.md sec 2.1 shrinkage row)."""
+    mcfg = ModelConfig(
+        num_classes=10, input_size=16, stem_channels=8, head_channels=32,
+        inverted_residual_setting=TINY_SETTING,
+    )
+    arch = supernet_arch(mcfg)
+    pw, norm = penalty_weights(arch, 16, flops_weighted=False)
+    assert norm == 1.0
+    assert np.all(pw["block_0"] == 0)  # non-searchable still excluded
+    for i in (1, 2, 3):
+        assert np.all(pw[f"block_{i}"] == 1.0)
+    # differs from the FLOPs-weighted scheme (which is non-constant)
+    fw, _ = penalty_weights(arch, 16)
+    assert np.asarray(fw["block_1"]).std() > 0
+
+
 def test_train_step_learns_and_updates():
     arch, mcfg, state, step, _ = make_setup()
     step = jax.jit(step)
