@@ -85,7 +85,15 @@ class DataConfig:
     batch_size: int = 1024  # GLOBAL batch size
     eval_batch_size: int = 1024
     mixup_alpha: float = 0.0  # 0 disables mixup
+    # torchvision ColorJitter(0.4, 0.4, 0.4) + AlexNet PCA Lighting(0.1) —
+    # the reference's train-transform stack (utils/transforms.py, SURVEY.md
+    # sec 2.1 data row). color_jitter gates the whole group.
     color_jitter: bool = False
+    jitter_brightness: float = 0.4
+    jitter_contrast: float = 0.4
+    jitter_saturation: float = 0.4
+    jitter_hue: float = 0.0
+    lighting_std: float = 0.1
     num_workers: int = 8
     prefetch: int = 2
     mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)

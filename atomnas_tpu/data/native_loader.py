@@ -49,7 +49,7 @@ def load_library() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_char_p),
         ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
     ]
     lib.dl_next.restype = ctypes.c_int32
     lib.dl_next.argtypes = [
@@ -68,7 +68,8 @@ class NativeTrainLoader:
     """Infinite train iterator over an imagefolder, uint8 NHWC batches."""
 
     def __init__(self, files, labels, *, batch: int, size: int,
-                 threads: int = 8, seed: int = 0, ring: int = 4):
+                 threads: int = 8, seed: int = 0, ring: int = 4,
+                 start_step: int = 0):
         if not files:
             raise FileNotFoundError("empty file list for native loader")
         bad = next(
@@ -86,6 +87,7 @@ class NativeTrainLoader:
         self._handle = lib.dl_create(
             arr, labs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             len(files), batch, size, threads, seed, 1, ring,
+            start_step * batch,
         )
         if not self._handle:
             raise OSError("dl_create failed")
@@ -136,7 +138,9 @@ class NativeTrainLoader:
             pass
 
 
-def make_train_iter(cfg: DataConfig, seed: int = 0) -> Iterator[dict]:
+def make_train_iter(
+    cfg: DataConfig, seed: int = 0, start_step: int = 0
+) -> Iterator[dict]:
     from atomnas_tpu.data.pipeline import _list_imagefolder
 
     files, labels, _ = _list_imagefolder(pathlib.Path(cfg.root) / "train")
@@ -149,5 +153,6 @@ def make_train_iter(cfg: DataConfig, seed: int = 0) -> Iterator[dict]:
         NativeTrainLoader(
             files, labels, batch=per_host, size=cfg.image_size,
             threads=cfg.num_workers, seed=seed, ring=max(cfg.prefetch, 2),
+            start_step=start_step,
         )
     )

@@ -279,8 +279,13 @@ class Experiment:
             except ValueError:  # not the main thread (tests)
                 pass
 
+        # data-iterator state: the stream position is exactly the restored
+        # step (1 batch per step), so resume continues the batch sequence
+        # instead of replaying from the seed (SURVEY.md sec 7 ckpt row)
+        start = int(jax.device_get(self.state.step))
         train_iter = pipeline.device_prefetch(
-            pipeline.make_train_iter(cfg.data, seed=cfg.run.seed),
+            pipeline.make_train_iter(cfg.data, seed=cfg.run.seed,
+                                     start_step=start),
             self.mesh,
             size=max(cfg.data.prefetch, 1),
         )
@@ -289,7 +294,6 @@ class Experiment:
         )
         meters_keys = ("loss", "ce", "penalty", "top1")
         tput = ThroughputMeter()
-        start = int(jax.device_get(self.state.step))
         self.log.info(
             "training: steps %d..%d (%d/epoch), global batch %d, mesh %s",
             start, self.total_steps, self.steps_per_epoch,

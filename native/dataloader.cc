@@ -221,10 +221,11 @@ struct Loader {
     int64_t off = s % int64_t(paths.size());
     std::lock_guard<std::mutex> lk(perm_mu);
     if (epoch != perm_epoch) {
-      if (perm.empty()) {
-        perm.resize(paths.size());
-        for (size_t i = 0; i < perm.size(); ++i) perm[i] = int32_t(i);
-      }
+      // Pure function of (seed, epoch): reset to identity before shuffling,
+      // so a resumed loader lands on the same order without replaying
+      // earlier epochs' shuffles.
+      perm.resize(paths.size());
+      for (size_t i = 0; i < perm.size(); ++i) perm[i] = int32_t(i);
       std::mt19937_64 rng(seed * 2654435761ULL + uint64_t(epoch));
       if (train) std::shuffle(perm.begin(), perm.end(), rng);
       perm_epoch = epoch;
@@ -233,7 +234,7 @@ struct Loader {
   }
 
   void worker_loop(int wid) {
-    std::mt19937 rng(uint32_t(seed * 7919 + wid));
+    (void)wid;
     std::vector<uint8_t> filebuf;
     while (!stop.load()) {
       int64_t s = next_sample.fetch_add(1);
@@ -254,6 +255,10 @@ struct Loader {
       }
       Buffer& buf = buffers[ring_idx];
       int32_t idx = sample_index(s);
+      // Per-sample RNG keyed by the global sample ordinal: augmentation is
+      // deterministic regardless of worker assignment, so a resumed run
+      // (start_sample) reproduces the uninterrupted stream bit-for-bit.
+      std::mt19937 rng(uint32_t(seed * 0x9E3779B9ULL + uint64_t(s) * 2654435761ULL));
       fill_sample(rng, idx, filebuf,
                   buf.images.data() + size_t(slot) * size * size * 3,
                   &buf.labels[slot]);
@@ -311,8 +316,11 @@ extern "C" {
 
 void* dl_create(const char** paths, const int32_t* labels, int64_t n,
                 int32_t batch, int32_t size, int32_t threads, int64_t seed,
-                int32_t train, int32_t ring) {
-  if (n <= 0 || batch <= 0 || size <= 0) return nullptr;
+                int32_t train, int32_t ring, int64_t start_sample) {
+  if (n <= 0 || batch <= 0 || size <= 0 || start_sample < 0 ||
+      start_sample % batch != 0) {
+    return nullptr;
+  }
   auto* ld = new Loader();
   ld->paths.reserve(size_t(n));
   ld->labels.assign(labels, labels + n);
@@ -328,6 +336,10 @@ void* dl_create(const char** paths, const int32_t* labels, int64_t n,
     b.labels.resize(size_t(batch));
   }
   ld->completed.assign(ld->ring, 0);
+  // resume: skip straight to the sample ordinal (per-epoch permutations and
+  // per-sample RNG are both derived from ordinals, so this is exact)
+  ld->next_sample.store(start_sample);
+  ld->next_consumed = start_sample / batch;
   int nthreads = std::max(threads, 1);
   for (int t = 0; t < nthreads; ++t) {
     ld->workers.emplace_back(&Loader::worker_loop, ld, t);

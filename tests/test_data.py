@@ -67,6 +67,72 @@ def test_imagefolder_pipeline(tmp_path):
     assert batches[0]["image"].shape == (4, 16, 16, 3)
 
 
+def test_synthetic_train_resume():
+    """start_step=k continues the uninterrupted stream (no batch replay)."""
+    cfg = DataConfig(dataset="synthetic", num_classes=10, image_size=16,
+                     batch_size=8, train_examples=64)
+    it = pipeline.make_train_iter(cfg, seed=0)
+    full = [next(it) for _ in range(5)]
+    it2 = pipeline.make_train_iter(cfg, seed=0, start_step=3)
+    for a, b in zip(full[3:], [next(it2) for _ in range(2)]):
+        np.testing.assert_array_equal(a["image"], b["image"])
+        np.testing.assert_array_equal(a["label"], b["label"])
+
+
+@pytest.mark.slow
+def test_imagefolder_train_resume_exact(tmp_path):
+    """Resume across an epoch boundary reproduces images bit-for-bit
+    (stateless per-slot augmentation; SURVEY.md sec 7 ckpt row)."""
+    _write_imagefolder(tmp_path, "train", classes=3, per_class=8)
+    cfg = DataConfig(
+        dataset="imagefolder", root=str(tmp_path), num_classes=3,
+        image_size=16, batch_size=4, use_native_decoder=False,
+        color_jitter=True,
+    )
+    it = pipeline.make_train_iter(cfg, seed=1)
+    full = [next(it) for _ in range(8)]  # 24 imgs, 6 steps/epoch -> crosses
+    it2 = pipeline.make_train_iter(cfg, seed=1, start_step=5)
+    resumed = [next(it2) for _ in range(3)]
+    for a, b in zip(full[5:], resumed):
+        np.testing.assert_array_equal(a["label"], b["label"])
+        np.testing.assert_array_equal(a["image"], b["image"])
+    # augmentation actually perturbs pixels (jitter+lighting active)
+    assert full[0]["image"].std() > 0
+
+
+@pytest.mark.slow
+def test_imagefolder_eval_shorter_side_and_process_padding(tmp_path, monkeypatch):
+    """Eval resize keeps aspect (shorter side -> eval_resize) and every
+    process emits the SAME batch count (multihost deadlock guard)."""
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    d = tmp_path / "val" / "class_0"
+    d.mkdir(parents=True)
+    for i in range(5):
+        arr = rng.randint(0, 255, (40, 80, 3), dtype=np.uint8)  # non-square
+        Image.fromarray(arr).save(d / f"i{i}.jpg")
+    cfg = DataConfig(
+        dataset="imagefolder", root=str(tmp_path), num_classes=1,
+        eval_image_size=16, eval_resize=20, eval_batch_size=4,
+        use_native_decoder=False,
+    )
+    import jax
+
+    counts, valids = {}, {}
+    for pi in range(2):
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        monkeypatch.setattr(jax, "process_index", lambda pi=pi: pi)
+        batches = list(pipeline.make_eval_iter(cfg)())
+        counts[pi] = len(batches)
+        valids[pi] = sum(float(b["valid"].sum()) for b in batches)
+        for b in batches:
+            assert b["image"].shape == (2, 16, 16, 3)
+    # shards are 3 and 2 files; both must emit ceil(3/2)=2 batches
+    assert counts[0] == counts[1] == 2
+    assert valids[0] + valids[1] == 5
+
+
 def test_steps_per_epoch():
     cfg = DataConfig(batch_size=256, train_examples=1000)
     assert pipeline.steps_per_epoch(cfg) == 3

@@ -140,6 +140,58 @@ def test_sigterm_checkpoints_and_exits(tmp_path):
     assert m and int(m[-1]) == interrupted_step
 
 
+def test_resume_matches_uninterrupted_bitwise(tmp_path):
+    """Interrupt-at-step-4 + resume == one uninterrupted run: the data
+    iterator fast-forwards (start_step) and the step rng folds in the step,
+    so final params must match EXACTLY (SURVEY.md sec 7 ckpt row:
+    data-iterator state)."""
+    import jax
+
+    from atomnas_tpu.train.loop import Experiment
+
+    import os
+    import signal
+
+    cfg_a = make_cfg(
+        tmp_path / "a", **{"search.enabled": False, "run.num_train_steps": 8}
+    )
+    exp_a = Experiment(cfg_a)
+    exp_a.train()
+
+    # interrupt run B deterministically during its 4th step: the SIGTERM
+    # flag is checked at the top of each iteration, so it checkpoints at
+    # step 4 and exits (same config -> same LR schedule as run A)
+    cfg_b = make_cfg(
+        tmp_path / "b", **{"search.enabled": False, "run.num_train_steps": 8}
+    )
+    exp_b1 = Experiment(cfg_b)
+    orig_step = exp_b1._train_step
+    calls = {"n": 0}
+
+    def step_then_maybe_interrupt(state, batch, rng):
+        calls["n"] += 1
+        if calls["n"] == 4:
+            os.kill(os.getpid(), signal.SIGTERM)
+        return orig_step(state, batch, rng)
+
+    exp_b1._train_step = step_then_maybe_interrupt
+    out = exp_b1.train()
+    assert out["interrupted_at"] == 4
+
+    exp_b = Experiment(
+        make_cfg(tmp_path / "b",
+                 **{"search.enabled": False, "run.num_train_steps": 8})
+    )
+    exp_b.train()
+
+    pa = jax.device_get(exp_a.state.params)
+    pb = jax.device_get(exp_b.state.params)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b), pa, pb)
+    ea = jax.device_get(exp_a.state.ema_params)
+    eb = jax.device_get(exp_b.state.ema_params)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b), ea, eb)
+
+
 def test_ema_bn_recalibration(tmp_path):
     """EMA eval with stale running stats vs recalibrated stats.
 

@@ -77,6 +77,29 @@ def test_epoch_label_coverage(lib, dataset):
     assert seen == collections.Counter({0: 5, 1: 5, 2: 5})
 
 
+def test_resume_exact(lib, dataset):
+    """start_step=k reproduces the uninterrupted stream bit-for-bit:
+    per-epoch permutations AND per-sample augmentation RNG are keyed by the
+    global sample ordinal, independent of worker scheduling."""
+    _, files, labels = dataset
+
+    def collect(start, n):
+        loader = lib.NativeTrainLoader(
+            files, labels, batch=5, size=16, threads=3, seed=7,
+            start_step=start,
+        )
+        try:
+            return [next(loader) for _ in range(n)]
+        finally:
+            loader.close()
+
+    full = collect(0, 6)
+    resumed = collect(4, 2)
+    for a, b in zip(full[4:], resumed):
+        np.testing.assert_array_equal(a["label"], b["label"])
+        np.testing.assert_array_equal(a["image"], b["image"])
+
+
 def test_rejects_non_jpeg(lib, tmp_path):
     p = tmp_path / "x.png"
     p.write_bytes(b"not an image")
