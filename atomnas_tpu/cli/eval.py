@@ -19,6 +19,15 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="atomnas_tpu eval")
     p.add_argument("--config", required=True)
     p.add_argument("--checkpoint", required=True)
+    p.add_argument(
+        "--latency", action="store_true",
+        help="time each module on the device and add a per-block ms column "
+             "(reference parity: model_profiling per-module latency)",
+    )
+    p.add_argument(
+        "--latency-batch", type=int, default=8,
+        help="batch size for --latency timing",
+    )
     p.add_argument("overrides", nargs="*", default=[])
     args = p.parse_args(argv)
     cfg = load_config(args.config)
@@ -32,9 +41,20 @@ def main(argv=None):
     from atomnas_tpu.ops import flops as F
     from atomnas_tpu.train.loop import Experiment
 
+    import jax
+
     exp = Experiment(cfg)
+    latency_ms = None
+    if args.latency:
+        from atomnas_tpu.ops.latency import module_latency
+
+        latency_ms = module_latency(
+            exp.arch, exp.state.params, exp.state.batch_stats,
+            exp.state.masks, cfg.model.input_size, batch=args.latency_batch,
+        )
     print(F.profile_table(exp.arch, cfg.model.input_size,
-                          __import__("jax").device_get(exp.state.masks)))
+                          jax.device_get(exp.state.masks),
+                          latency_ms=latency_ms))
     metrics = exp.train()  # test_only path
     print({k: round(float(v), 4) for k, v in metrics.items()})
     return metrics

@@ -178,11 +178,30 @@ def xla_cost_crosscheck(arch: ModelArch, input_size: int) -> dict:
     }
 
 
-def profile_table(arch: ModelArch, input_size: int, masks=None) -> str:
-    """Human-readable per-block profile (reference: model_profiling's table)."""
+def profile_table(
+    arch: ModelArch,
+    input_size: int,
+    masks=None,
+    latency_ms: Optional[Dict[str, float]] = None,
+) -> str:
+    """Human-readable per-block profile (reference: model_profiling's table).
+
+    ``latency_ms`` (from ops.latency.module_latency) adds the reference's
+    per-module device-time column.
+    """
     sizes = spatial_sizes(arch, input_size)
     per_atom = atom_flops(arch, input_size)
-    lines = [f"{'block':>8} {'in':>4} {'out':>4} {'spatial':>9} {'alive':>12} {'MFLOPs':>9}"]
+    ms_col = "" if latency_ms is None else f" {'ms':>8}"
+    lines = [
+        f"{'block':>8} {'in':>4} {'out':>4} {'spatial':>9} {'alive':>12}"
+        f" {'MFLOPs':>9}{ms_col}"
+    ]
+
+    def ms(key: str) -> str:
+        if latency_ms is None:
+            return ""
+        return f" {latency_ms.get(key, float('nan')):>8.3f}"
+
     for i, b in enumerate(arch.blocks):
         costs = per_atom[f"block_{i}"]
         m = None if masks is None else np.asarray(masks[f"block_{i}"])
@@ -196,7 +215,13 @@ def profile_table(arch: ModelArch, input_size: int, masks=None) -> str:
             per_branch.append(f"{k}:{n}")
         lines.append(
             f"{i:>8} {b.cin:>4} {b.cout:>4} {sizes[i][0]:>4}->{sizes[i][1]:<4}"
-            f" {'/'.join(per_branch):>12} {fl / 1e6:>9.2f}"
+            f" {'/'.join(per_branch):>12} {fl / 1e6:>9.2f}{ms(f'block_{i}')}"
+        )
+    if latency_ms is not None:
+        lines.append(
+            f"{'stem':>8}{'':>44}{ms('stem')}   "
+            f"{'head':>6}{ms('head')}   "
+            f"modules total {sum(latency_ms.values()):.3f} ms"
         )
     lines.append(
         f"total: {model_flops(arch, input_size, masks) / 1e6:.2f} MFLOPs, "

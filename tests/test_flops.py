@@ -6,6 +6,32 @@ from atomnas_tpu.models import init_masks, supernet_arch
 from atomnas_tpu.ops import flops as F
 
 
+def test_module_latency_and_table_column():
+    """Per-module device timing (reference: model_profiling's per-module
+    latency) integrates as a ms column in profile_table."""
+    import jax
+
+    from atomnas_tpu.models import init_params
+    from atomnas_tpu.ops.latency import module_latency
+
+    setting = (
+        BlockSetting(t=1, c=8, n=1, s=1, ks=(3,)),
+        BlockSetting(t=2, c=16, n=1, s=2),
+    )
+    arch = supernet_arch(ModelConfig(
+        num_classes=10, input_size=16, stem_channels=8, head_channels=32,
+        compute_dtype="float32", inverted_residual_setting=setting,
+    ))
+    params, stats = init_params(jax.random.key(0), arch)
+    masks = init_masks(arch)
+    lat = module_latency(arch, params, stats, masks, 16, batch=2, iters=2)
+    assert set(lat) == {"stem", "head", "block_0", "block_1"}
+    assert all(v > 0 for v in lat.values())
+    table = F.profile_table(arch, 16, masks, latency_ms=lat)
+    assert table.splitlines()[0].rstrip().endswith("ms")
+    assert "modules total" in table
+
+
 def test_mobilenet_v2_flops_parity():
     """With a single 3x3 branch at t=6 the arch IS MobileNetV2 1.0; the
     counter must land on the published ~300M MACs / ~3.5M params."""
