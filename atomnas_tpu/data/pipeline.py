@@ -381,6 +381,16 @@ def make_eval_iter(cfg: DataConfig) -> Any:
                               learnable=cfg.dataset.endswith("learnable"))
         return lambda: iter(ds)
     if cfg.dataset == "imagefolder":
+        if cfg.use_native_decoder:
+            import subprocess
+
+            try:
+                from atomnas_tpu.data import native_loader
+
+                return native_loader.make_eval_iter(cfg)
+            except (ImportError, OSError, FileNotFoundError, ValueError,
+                    subprocess.SubprocessError):
+                pass  # fall back to tf.data (no toolchain / non-JPEG files)
         return make_imagefolder_eval(cfg)
     raise ValueError(f"unknown dataset {cfg.dataset!r}")
 

@@ -1,10 +1,22 @@
-// Native ImageNet training data loader — the TPU-host equivalent of the
-// reference's NVIDIA DALI input pipeline (SURVEY.md sec 2.2: C++ JPEG decode
-// + fused augmentation). Multi-threaded libjpeg decode with DCT-domain
-// downscaling, torchvision-semantics random-resized-crop, horizontal flip,
-// assembled into uint8 NHWC batches handed to JAX via ctypes
-// (atomnas_tpu/data/native_loader.py). Normalization/mixup happen on device
-// (train/step.py), so the host ships compact uint8.
+// Native ImageNet data loader — the TPU-host equivalent of the reference's
+// NVIDIA DALI input pipeline (SURVEY.md sec 2.2: C++ JPEG decode + fused
+// augmentation; sec 3.5 HybridTrainPipe/HybridValPipe). Multi-threaded
+// libjpeg decode with DCT-domain downscaling, torchvision-semantics
+// random-resized-crop + flip + color jitter + PCA lighting for train,
+// shorter-side resize + center crop for eval, assembled into uint8 NHWC
+// batches handed to JAX via ctypes (atomnas_tpu/data/native_loader.py).
+// Normalization/mixup happen on device (train/step.py), so the host ships
+// compact uint8.
+//
+// Determinism contract: every random decision for sample ordinal `s` comes
+// from an RNG seeded by (seed, s, attempt) — independent of worker
+// scheduling — and the per-epoch shuffle is a pure function of (seed,
+// epoch). A loader created with start_sample = k*batch therefore reproduces
+// the uninterrupted stream bit-for-bit (checkpoint/resume parity).
+//
+// Corrupt files: train mode RESAMPLES a different index (deterministically)
+// instead of training on (black image, true label); eval mode zero-fills
+// and counts the failure.
 //
 // Build: g++ -O3 -shared -fPIC -std=c++17 dataloader.cc -ljpeg -lpthread
 //        -o libatomdata.so
@@ -132,6 +144,16 @@ CropRect sample_rrc(std::mt19937& rng, int w, int h) {
   return {(w - s) / 2, (h - s) / 2, s, s};
 }
 
+// Eval crop: the source rect equivalent of torchvision
+// Resize(shorter-side=resize) + CenterCrop(size): a centered square of side
+// round(size * short / resize).
+CropRect center_eval_crop(int w, int h, int size, int resize) {
+  int shorter = std::min(w, h);
+  int side = std::max(1, int(std::lround(double(size) * shorter / resize)));
+  side = std::min(side, shorter);
+  return {(w - side) / 2, (h - side) / 2, side, side};
+}
+
 // Bilinear crop-resize from src(rect) to dst (size x size), optional hflip.
 // Fixed-point (8-bit fractional) with precomputed per-column coefficient
 // tables — the per-sample hot loop, SIMD-friendly.
@@ -184,6 +206,135 @@ void crop_resize(const Image& src, CropRect r, int size, bool flip,
 }
 
 // ---------------------------------------------------------------------------
+// Color jitter + PCA lighting (torchvision / reference transforms semantics,
+// matching data/pipeline.py::_color_jitter_tf: fixed op order, factors
+// uniform in [max(0, 1-x), 1+x], lighting alpha ~ N(0, std)).
+// ---------------------------------------------------------------------------
+
+struct JitterParams {
+  bool enabled = false;
+  float brightness = 0.f, contrast = 0.f, saturation = 0.f, hue = 0.f;
+  float lighting_std = 0.f;
+};
+
+// ImageNet RGB PCA (AlexNet lighting), rows = eigvecs (see pipeline.py)
+constexpr float kEigval[3] = {0.2175f, 0.0188f, 0.0045f};
+constexpr float kEigvec[3][3] = {{-0.5675f, 0.7192f, 0.4009f},
+                                 {-0.5808f, -0.0045f, -0.8140f},
+                                 {-0.5836f, -0.6948f, 0.4203f}};
+
+inline float clamp255(float v) {
+  return v < 0.f ? 0.f : (v > 255.f ? 255.f : v);
+}
+
+void rgb_to_hsv(float r, float g, float b, float* h, float* s, float* v) {
+  float mx = std::max({r, g, b}), mn = std::min({r, g, b});
+  *v = mx;
+  float d = mx - mn;
+  *s = mx <= 0.f ? 0.f : d / mx;
+  if (d <= 0.f) {
+    *h = 0.f;
+    return;
+  }
+  float hh;
+  if (mx == r) {
+    hh = (g - b) / d;
+    if (hh < 0) hh += 6.f;
+  } else if (mx == g) {
+    hh = (b - r) / d + 2.f;
+  } else {
+    hh = (r - g) / d + 4.f;
+  }
+  *h = hh / 6.f;
+}
+
+void hsv_to_rgb(float h, float s, float v, float* r, float* g, float* b) {
+  h = h - std::floor(h);
+  float hh = h * 6.f;
+  int i = int(hh) % 6;
+  float f = hh - std::floor(hh);
+  float p = v * (1.f - s), q = v * (1.f - s * f), t = v * (1.f - s * (1.f - f));
+  switch (i) {
+    case 0: *r = v; *g = t; *b = p; break;
+    case 1: *r = q; *g = v; *b = p; break;
+    case 2: *r = p; *g = v; *b = t; break;
+    case 3: *r = p; *g = q; *b = v; break;
+    case 4: *r = t; *g = p; *b = v; break;
+    default: *r = v; *g = p; *b = q; break;
+  }
+}
+
+void apply_jitter(std::mt19937& rng, const JitterParams& jp, int size,
+                  uint8_t* img) {
+  const size_t n = size_t(size) * size;
+  auto factor = [&](float x) {
+    std::uniform_real_distribution<float> u(std::max(0.f, 1.f - x), 1.f + x);
+    return u(rng);
+  };
+  std::vector<float> buf(n * 3);
+  for (size_t i = 0; i < n * 3; ++i) buf[i] = float(img[i]);
+
+  if (jp.brightness > 0.f) {
+    float f = factor(jp.brightness);
+    for (size_t i = 0; i < n * 3; ++i) buf[i] = clamp255(buf[i] * f);
+  }
+  if (jp.contrast > 0.f) {
+    float f = factor(jp.contrast);
+    double mean = 0.0;
+    for (size_t i = 0; i < n; ++i) {
+      mean += 0.299 * buf[i * 3] + 0.587 * buf[i * 3 + 1] +
+              0.114 * buf[i * 3 + 2];
+    }
+    float m = float(mean / double(n));
+    for (size_t i = 0; i < n * 3; ++i) {
+      buf[i] = clamp255(buf[i] * f + m * (1.f - f));
+    }
+  }
+  if (jp.saturation > 0.f) {
+    float f = factor(jp.saturation);
+    for (size_t i = 0; i < n; ++i) {
+      float gray = 0.299f * buf[i * 3] + 0.587f * buf[i * 3 + 1] +
+                   0.114f * buf[i * 3 + 2];
+      for (int c = 0; c < 3; ++c) {
+        buf[i * 3 + c] = clamp255(buf[i * 3 + c] * f + gray * (1.f - f));
+      }
+    }
+  }
+  if (jp.hue > 0.f) {
+    std::uniform_real_distribution<float> u(-jp.hue, jp.hue);
+    float delta = u(rng);
+    for (size_t i = 0; i < n; ++i) {
+      float h, s, v;
+      rgb_to_hsv(buf[i * 3] / 255.f, buf[i * 3 + 1] / 255.f,
+                 buf[i * 3 + 2] / 255.f, &h, &s, &v);
+      float r, g, b;
+      hsv_to_rgb(h + delta, s, v, &r, &g, &b);
+      buf[i * 3] = clamp255(r * 255.f);
+      buf[i * 3 + 1] = clamp255(g * 255.f);
+      buf[i * 3 + 2] = clamp255(b * 255.f);
+    }
+  }
+  if (jp.lighting_std > 0.f) {
+    std::normal_distribution<float> nd(0.f, jp.lighting_std);
+    float alpha[3] = {nd(rng), nd(rng), nd(rng)};
+    float shift[3];
+    for (int c = 0; c < 3; ++c) {
+      shift[c] = 255.f * (kEigvec[c][0] * alpha[0] * kEigval[0] +
+                          kEigvec[c][1] * alpha[1] * kEigval[1] +
+                          kEigvec[c][2] * alpha[2] * kEigval[2]);
+    }
+    for (size_t i = 0; i < n; ++i) {
+      for (int c = 0; c < 3; ++c) {
+        buf[i * 3 + c] = clamp255(buf[i * 3 + c] + shift[c]);
+      }
+    }
+  }
+  for (size_t i = 0; i < n * 3; ++i) {
+    img[i] = uint8_t(std::lround(buf[i]));
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Loader: thread pool filling a ring of batch buffers
 // ---------------------------------------------------------------------------
 
@@ -192,11 +343,15 @@ struct Loader {
   std::vector<int32_t> labels;
   int batch = 0, size = 0, ring = 4;
   bool train = true;
+  int eval_resize = 0;  // shorter-side resize target (eval mode)
   uint64_t seed = 0;
+  JitterParams jitter;
+  int64_t padded_total = -1;  // eval: total slots incl. padding; -1 infinite
 
   struct Buffer {
     std::vector<uint8_t> images;
     std::vector<int32_t> labels;
+    std::vector<float> valid;
     std::atomic<int> filled{0};
     int64_t batch_id = -1;
   };
@@ -233,11 +388,18 @@ struct Loader {
     return perm[size_t(off)];
   }
 
+  std::mt19937 sample_rng(int64_t s, int attempt) {
+    return std::mt19937(
+        uint32_t(seed * 0x9E3779B9ULL + uint64_t(s) * 2654435761ULL +
+                 uint64_t(attempt) * 40503ULL));
+  }
+
   void worker_loop(int wid) {
     (void)wid;
     std::vector<uint8_t> filebuf;
     while (!stop.load()) {
       int64_t s = next_sample.fetch_add(1);
+      if (padded_total >= 0 && s >= padded_total) return;  // eval: done
       int64_t batch_id = s / batch;
       int slot = int(s % batch);
       int ring_idx = int(batch_id % ring);
@@ -254,14 +416,16 @@ struct Loader {
         }
       }
       Buffer& buf = buffers[ring_idx];
-      int32_t idx = sample_index(s);
-      // Per-sample RNG keyed by the global sample ordinal: augmentation is
-      // deterministic regardless of worker assignment, so a resumed run
-      // (start_sample) reproduces the uninterrupted stream bit-for-bit.
-      std::mt19937 rng(uint32_t(seed * 0x9E3779B9ULL + uint64_t(s) * 2654435761ULL));
-      fill_sample(rng, idx, filebuf,
-                  buf.images.data() + size_t(slot) * size * size * 3,
-                  &buf.labels[slot]);
+      uint8_t* out = buf.images.data() + size_t(slot) * size * size * 3;
+      if (padded_total >= 0 && s >= int64_t(paths.size())) {
+        // eval padding slot past the end of the shard
+        std::memset(out, 0, size_t(size) * size * 3);
+        buf.labels[slot] = 0;
+        buf.valid[slot] = 0.f;
+      } else {
+        fill_sample(s, filebuf, out, &buf.labels[slot]);
+        buf.valid[slot] = 1.f;
+      }
       if (buf.filled.fetch_add(1) + 1 == batch) {
         std::lock_guard<std::mutex> lk(mu);
         completed[ring_idx] = batch_id + 1;
@@ -270,43 +434,59 @@ struct Loader {
     }
   }
 
-  void fill_sample(std::mt19937& rng, int32_t idx, std::vector<uint8_t>& filebuf,
-                   uint8_t* out, int32_t* out_label) {
-    *out_label = labels[idx];
-    std::ifstream f(paths[idx], std::ios::binary | std::ios::ate);
-    bool ok = false;
-    if (f) {
-      std::streamsize len = f.tellg();
-      f.seekg(0);
-      filebuf.resize(size_t(len));
-      if (f.read(reinterpret_cast<char*>(filebuf.data()), len)) {
-        int w = 0, h = 0;
-        if (read_jpeg_dims(filebuf.data(), filebuf.size(), &w, &h)) {
-          CropRect r = train ? sample_rrc(rng, w, h)
-                             : CropRect{0, 0, w, h};
-          // DCT-domain downscale: largest denom keeping crop >= target size
-          int denom = 1;
-          while (denom < 8 && r.w / (denom * 2) >= size &&
-                 r.h / (denom * 2) >= size) {
-            denom *= 2;
-          }
-          Image img = decode_jpeg(filebuf.data(), filebuf.size(), denom);
-          if (img.ok) {
-            CropRect rs{r.x / denom, r.y / denom,
-                        std::max(r.w / denom, 1), std::max(r.h / denom, 1)};
-            rs.x = std::min(rs.x, img.w - rs.w);
-            rs.y = std::min(rs.y, img.h - rs.h);
-            bool flip = train && (rng() & 1u);
-            crop_resize(img, rs, size, flip, out);
-            ok = true;
-          }
-        }
+  // Decode + augment one sample. On decode failure in TRAIN mode, resample
+  // a different (deterministic) index instead of emitting a black image
+  // with the original label; zero-fill only as a last resort.
+  void fill_sample(int64_t s, std::vector<uint8_t>& filebuf, uint8_t* out,
+                   int32_t* out_label) {
+    const int max_attempts = train ? 10 : 1;
+    int32_t idx = sample_index(s);
+    for (int attempt = 0; attempt < max_attempts; ++attempt) {
+      std::mt19937 rng = sample_rng(s, attempt);
+      if (attempt > 0) {
+        std::uniform_int_distribution<int64_t> alt(0, int64_t(paths.size()) - 1);
+        idx = int32_t(alt(rng));
       }
-    }
-    if (!ok) {
+      if (try_fill(rng, idx, filebuf, out)) {
+        *out_label = labels[idx];
+        return;
+      }
       decode_failures.fetch_add(1);
-      std::memset(out, 0, size_t(size) * size * 3);  // corrupt file
     }
+    std::memset(out, 0, size_t(size) * size * 3);  // every attempt corrupt
+    *out_label = labels[idx];
+  }
+
+  bool try_fill(std::mt19937& rng, int32_t idx, std::vector<uint8_t>& filebuf,
+                uint8_t* out) {
+    std::ifstream f(paths[idx], std::ios::binary | std::ios::ate);
+    if (!f) return false;
+    std::streamsize len = f.tellg();
+    f.seekg(0);
+    filebuf.resize(size_t(len));
+    if (!f.read(reinterpret_cast<char*>(filebuf.data()), len)) return false;
+    int w = 0, h = 0;
+    if (!read_jpeg_dims(filebuf.data(), filebuf.size(), &w, &h) || w <= 0 ||
+        h <= 0) {
+      return false;
+    }
+    CropRect r = train ? sample_rrc(rng, w, h)
+                       : center_eval_crop(w, h, size, eval_resize);
+    // DCT-domain downscale: largest denom keeping crop >= target size
+    int denom = 1;
+    while (denom < 8 && r.w / (denom * 2) >= size && r.h / (denom * 2) >= size) {
+      denom *= 2;
+    }
+    Image img = decode_jpeg(filebuf.data(), filebuf.size(), denom);
+    if (!img.ok) return false;
+    CropRect rs{r.x / denom, r.y / denom, std::max(r.w / denom, 1),
+                std::max(r.h / denom, 1)};
+    rs.x = std::min(rs.x, img.w - rs.w);
+    rs.y = std::min(rs.y, img.h - rs.h);
+    bool flip = train && (rng() & 1u);
+    crop_resize(img, rs, size, flip, out);
+    if (train && jitter.enabled) apply_jitter(rng, jitter, size, out);
+    return true;
   }
 };
 
@@ -314,13 +494,19 @@ struct Loader {
 
 extern "C" {
 
+// jitter: nullptr or float[6] {enabled, brightness, contrast, saturation,
+// hue, lighting_std}. train=0 gives the eval pipeline: no shuffle, no
+// augmentation, shorter-side(eval_resize)+center-crop, finite (one pass,
+// last batch zero-padded with valid=0), dl_next returns 1 at end-of-data.
 void* dl_create(const char** paths, const int32_t* labels, int64_t n,
                 int32_t batch, int32_t size, int32_t threads, int64_t seed,
-                int32_t train, int32_t ring, int64_t start_sample) {
+                int32_t train, int32_t ring, int64_t start_sample,
+                int32_t eval_resize, const float* jitter) {
   if (n <= 0 || batch <= 0 || size <= 0 || start_sample < 0 ||
       start_sample % batch != 0) {
     return nullptr;
   }
+  if (!train && eval_resize < size) return nullptr;
   auto* ld = new Loader();
   ld->paths.reserve(size_t(n));
   ld->labels.assign(labels, labels + n);
@@ -328,12 +514,20 @@ void* dl_create(const char** paths, const int32_t* labels, int64_t n,
   ld->batch = batch;
   ld->size = size;
   ld->train = train != 0;
+  ld->eval_resize = eval_resize;
   ld->seed = uint64_t(seed);
   ld->ring = std::max(ring, 2);
+  if (jitter != nullptr && jitter[0] != 0.f) {
+    ld->jitter = {true, jitter[1], jitter[2], jitter[3], jitter[4], jitter[5]};
+  }
+  if (!ld->train) {
+    ld->padded_total = ((n + batch - 1) / batch) * batch;  // one padded pass
+  }
   ld->buffers = std::vector<Loader::Buffer>(ld->ring);
   for (auto& b : ld->buffers) {
     b.images.resize(size_t(batch) * size * size * 3);
     b.labels.resize(size_t(batch));
+    b.valid.resize(size_t(batch));
   }
   ld->completed.assign(ld->ring, 0);
   // resume: skip straight to the sample ordinal (per-epoch permutations and
@@ -347,10 +541,14 @@ void* dl_create(const char** paths, const int32_t* labels, int64_t n,
   return ld;
 }
 
-// Blocks until the next batch (in order) is complete; copies into out buffers.
-int32_t dl_next(void* handle, uint8_t* out_images, int32_t* out_labels) {
+// Blocks until the next batch (in order) is complete; copies into out
+// buffers. Returns 0 = ok, 1 = end of (finite) data, -1 = loader stopped.
+// out_valid may be nullptr (train mode: everything valid).
+int32_t dl_next(void* handle, uint8_t* out_images, int32_t* out_labels,
+                float* out_valid) {
   auto* ld = static_cast<Loader*>(handle);
   int64_t want = ld->next_consumed;
+  if (ld->padded_total >= 0 && want * ld->batch >= ld->padded_total) return 1;
   int ring_idx = int(want % ld->ring);
   {
     std::unique_lock<std::mutex> lk(ld->mu);
@@ -363,6 +561,9 @@ int32_t dl_next(void* handle, uint8_t* out_images, int32_t* out_labels) {
   std::memcpy(out_images, buf.images.data(), buf.images.size());
   std::memcpy(out_labels, buf.labels.data(),
               buf.labels.size() * sizeof(int32_t));
+  if (out_valid != nullptr) {
+    std::memcpy(out_valid, buf.valid.data(), buf.valid.size() * sizeof(float));
+  }
   {
     std::lock_guard<std::mutex> lk(ld->mu);
     ld->next_consumed = want + 1;
