@@ -140,6 +140,49 @@ def test_sigterm_checkpoints_and_exits(tmp_path):
     assert m and int(m[-1]) == interrupted_step
 
 
+@pytest.mark.slow
+def test_real_jpeg_driver_end_to_end(tmp_path):
+    """CI-speed variant of configs/jpeg_e2e.yml: the FULL driver over
+    on-disk JPEGs through the native C++ decoder, search ON, eval padded
+    (SURVEY.md sec 3.1/3.5 — the reference never ran on synthetic tensors)."""
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+    try:
+        from scripts.make_fake_imagefolder import make_split
+    finally:
+        sys.path.pop(0)
+    root = tmp_path / "data"
+    make_split(root, "train", classes=5, per_class=16, size=16, seed=0)
+    make_split(root, "val", classes=5, per_class=5, size=16, seed=1)
+
+    d = json.loads(json.dumps(TINY))
+    d["model"]["num_classes"] = 5
+    d["data"] = {
+        "dataset": "imagefolder", "root": str(root), "num_classes": 5,
+        "image_size": 16, "batch_size": 16, "eval_batch_size": 16,
+        "train_examples": 80, "eval_examples": 25,
+        "use_native_decoder": True, "color_jitter": True,
+    }
+    d["optim"]["epochs"] = 3
+    d["search"] = {
+        "enabled": True, "penalty": 0.02, "prune_threshold": 0.1,
+        "shrink_interval_steps": 5, "reslice_every_events": 2,
+    }
+    d["run"]["log_dir"] = str(tmp_path / "run")
+    summary = train_and_eval(config_from_dict(d))
+
+    # the native library was actually built and used (no silent fallback)
+    from atomnas_tpu.data import native_loader
+
+    assert native_loader._lib is not None
+    assert summary["final_step"] == 15
+    assert summary["final_eval_examples"] == 25  # padded eval counted right
+    assert summary["final_mflops"] < 0.223  # atoms died under the penalty
+    events = (tmp_path / "run" / "arch_events.jsonl").read_text().splitlines()
+    assert len(events) >= 2
+
+
 def test_resume_matches_uninterrupted_bitwise(tmp_path):
     """Interrupt-at-step-4 + resume == one uninterrupted run: the data
     iterator fast-forwards (start_step) and the step rng folds in the step,
