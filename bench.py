@@ -1,7 +1,7 @@
 """Throughput benchmark: AtomNAS-C supernet training, images/sec/chip.
 
 Run on real TPU hardware by the round driver. Prints exactly ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
 Baseline: the reference (meijieru/AtomNAS, PyTorch fp32 + DALI) published no
 throughput numbers (BASELINE.md), and no V100 exists in this environment; we
@@ -12,8 +12,14 @@ scaled by the supernet's ~3x expansion cost. The BASELINE.json target is
 
 Method: full AtomNAS-C supernet (924M-MAC search space), bf16 compute,
 224x224 synthetic uint8 batches pre-staged on device (input-pipeline-free:
-this measures the training step), search penalty ON (as in a real run),
-remat ON, warmup then timed steps with block_until_ready.
+this measures the training step), search penalty ON (as in a real run).
+Two independent timings that must agree (round-1 verdict: wall-clock alone
+through this container's flaky tunnel is not credible):
+  * wall-clock over chained donated-state steps (block_until_ready), and
+  * XProf device time (utils/devtime.py) — the device trace cannot lie.
+The JSON also carries MFU and achieved-HBM-bandwidth derived from the
+compiled step's XLA cost analysis (flops / bytes accessed) over the device
+time, against the chip's peak specs.
 """
 
 from __future__ import annotations
@@ -24,6 +30,23 @@ import time
 
 
 V100_BASELINE_IMG_PER_SEC = 250.0
+
+# peak bf16 matmul FLOP/s and HBM bandwidth per chip, by device_kind substring
+CHIP_PEAKS = {
+    "v6": (918e12, 1640e9),       # Trillium
+    "v5p": (459e12, 2765e9),
+    "v5 lite": (197e12, 819e9),   # v5e reports "TPU v5 lite"
+    "v5e": (197e12, 819e9),
+    "v4": (275e12, 1228e9),
+}
+
+
+def chip_peaks(device_kind: str):
+    dk = device_kind.lower()
+    for key, peaks in CHIP_PEAKS.items():
+        if key in dk:
+            return peaks
+    return None, None
 
 
 def log(*a):
@@ -69,26 +92,81 @@ def run_bench(batch_size: int, steps: int = 20, warmup: int = 3, remat: bool = F
         "label": jax.device_put(rs.randint(0, 1000, (batch_size,)).astype(np.int32), sh),
     }
 
-    step_fn = jax.jit(
+    # AOT compile: one compile serves execution AND the XLA cost analysis
+    # (flops / bytes accessed) that MFU and HBM-bandwidth derive from
+    jitted = jax.jit(
         make_train_step(arch, ocfg, scfg, dcfg, tx, schedule, pw, mcfg.input_size),
         donate_argnums=0,
     )
     log(f"bench: batch={batch_size} devices={jax.device_count()} compiling...")
+    compiled = jitted.lower(state, batch, rng).compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    xla_flops = float(cost.get("flops", 0.0))
+    xla_bytes = float(cost.get("bytes accessed", 0.0))
+
+    def step_fn(state):
+        new_state, _ = compiled(state, batch, rng)
+        return new_state
+
     t0 = time.perf_counter()
     for _ in range(warmup):
-        state, metrics = step_fn(state, batch, rng)
+        state = step_fn(state)
     jax.block_until_ready(state.params)
     log(f"bench: warmup done in {time.perf_counter() - t0:.1f}s; timing {steps} steps")
 
+    # timing 1: wall clock over chained donated-state steps
     t0 = time.perf_counter()
     for _ in range(steps):
-        state, metrics = step_fn(state, batch, rng)
+        state = step_fn(state)
     jax.block_until_ready(state.params)
-    dt = time.perf_counter() - t0
+    wall_ms = (time.perf_counter() - t0) * 1e3 / steps
+
+    # timing 2: XProf device time (independent of dispatch-ack behavior)
+    device_ms = None
+    if jax.default_backend() == "tpu":
+        try:
+            from atomnas_tpu.utils import devtime
+
+            holder = {"s": state}
+
+            def traced_step():
+                holder["s"] = step_fn(holder["s"])
+                return holder["s"].params
+
+            device_ms = devtime.device_time_ms(traced_step, iters=10, warmup=2)
+            state = holder["s"]
+        except Exception as e:  # profiler unavailable: report wall only
+            log(f"bench: device-time cross-check unavailable: {e}")
+
+    _, metrics = compiled(state, batch, rng)
     loss = float(metrics["loss"])
     assert np.isfinite(loss), f"non-finite loss {loss}"
-    img_per_sec = batch_size * steps / dt
-    return img_per_sec / jax.device_count(), loss
+
+    n_dev = jax.device_count()
+    result = {
+        "wall_ms_per_step": round(wall_ms, 3),
+        "device_ms_per_step": round(device_ms, 3) if device_ms else None,
+        "img_per_sec_chip_wall": round(batch_size / (wall_ms / 1e3) / n_dev, 2),
+        "img_per_sec_chip_device": (
+            round(batch_size / (device_ms / 1e3) / n_dev, 2) if device_ms else None
+        ),
+        "xla_flops_per_step": xla_flops,
+        "xla_bytes_per_step": xla_bytes,
+        "loss": loss,
+    }
+    timing_ms = device_ms or wall_ms
+    peak_flops, peak_bw = chip_peaks(jax.devices()[0].device_kind)
+    if peak_flops:
+        result["mfu"] = round(
+            xla_flops / n_dev / (timing_ms / 1e3) / peak_flops, 4
+        )
+        result["hbm_gbps"] = round(
+            xla_bytes / n_dev / (timing_ms / 1e3) / 1e9, 1
+        )
+        result["hbm_util"] = round(result["hbm_gbps"] * 1e9 / peak_bw, 4)
+    return result
 
 
 def main():
@@ -99,19 +177,28 @@ def main():
     # 512 w/o remat does not fit
     for batch, remat in ((256, False), (512, True), (128, False), (64, True)):
         try:
-            per_chip, loss = run_bench(batch, remat=remat)
-            log(f"bench: batch={batch} remat={remat} -> {per_chip:.1f} img/s/chip (loss {loss:.3f})")
-            print(
-                json.dumps(
-                    {
-                        "metric": "atomnas_c_supernet_train_throughput",
-                        "value": round(per_chip, 2),
-                        "unit": "images/sec/chip",
-                        "vs_baseline": round(per_chip / V100_BASELINE_IMG_PER_SEC, 3),
-                    }
-                ),
-                flush=True,
-            )
+            r = run_bench(batch, remat=remat)
+            log(f"bench: batch={batch} remat={remat} -> {r}")
+            # headline = device time when available (the unimpeachable one),
+            # cross-checked against wall clock
+            per_chip = r["img_per_sec_chip_device"] or r["img_per_sec_chip_wall"]
+            out = {
+                "metric": "atomnas_c_supernet_train_throughput",
+                "value": per_chip,
+                "unit": "images/sec/chip",
+                "vs_baseline": round(per_chip / V100_BASELINE_IMG_PER_SEC, 3),
+                "wall_ms_per_step": r["wall_ms_per_step"],
+                "device_ms_per_step": r["device_ms_per_step"],
+                "img_per_sec_chip_wall": r["img_per_sec_chip_wall"],
+                "mfu": r.get("mfu"),
+                "hbm_gbps": r.get("hbm_gbps"),
+                "hbm_util": r.get("hbm_util"),
+                "batch": batch,
+            }
+            if r["device_ms_per_step"]:
+                agree = r["wall_ms_per_step"] / r["device_ms_per_step"]
+                out["wall_vs_device"] = round(agree, 3)
+            print(json.dumps(out), flush=True)
             return
         except Exception as e:  # OOM at large batch: halve and retry
             last_err = e
