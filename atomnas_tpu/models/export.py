@@ -1,0 +1,111 @@
+"""Deployment artifact export: searched checkpoint -> compact folded net.
+
+The serving hand-off the reference does implicitly by shipping trained
+checkpoints evaluated through the training module tree (SURVEY.md sec 3.4
+``test_only``): here it is an explicit, verified artifact —
+
+  1. restore the checkpoint (masked supernet or already-sliced net),
+  2. re-slice to compact static shapes if any atoms are masked dead,
+  3. fold every BatchNorm into the adjacent conv (models/inference.py),
+  4. save ``{arch.json, folded params (orbax), export.json}`` and verify
+     the folded net's logits against the training net's eval forward.
+
+Load back with ``load_deployment`` and run with ``forward_folded``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import orbax.checkpoint as ocp
+
+from atomnas_tpu.models.arch import ModelArch
+from atomnas_tpu.models.inference import fold_bn, forward_folded
+from atomnas_tpu.models.supernet import forward
+from atomnas_tpu.ops import flops as F
+
+
+def export_deployment(
+    state,
+    arch: ModelArch,
+    out_dir: str | pathlib.Path,
+    *,
+    use_ema: bool = True,
+    input_size: int = 224,
+) -> Dict[str, Any]:
+    """Write a verified deployment artifact; returns its manifest."""
+    from atomnas_tpu.search import shrink as shrinklib
+
+    params = state.ema_params if use_ema else state.params
+    stats = state.batch_stats
+    masks = state.masks
+    masks_host = jax.device_get(masks)
+    dead = sum(
+        int((np.asarray(m) == 0).sum()) for m in masks_host.values()
+    )
+    if dead:
+        # compact the masked supernet first (bit-equivalent, tested)
+        res = shrinklib.reslice(arch, params, stats, masks,
+                                params if use_ema else state.ema_params)
+        arch, params, stats = res.arch, res.params, res.batch_stats
+
+    folded = jax.device_get(fold_bn(arch, params, stats))
+
+    # verification probe: folded net == training net in eval mode
+    probe = jnp.asarray(
+        np.random.RandomState(0).rand(2, input_size, input_size, 3), jnp.float32
+    )
+    arch_f32 = dataclasses.replace(arch, compute_dtype="float32")
+    with jax.default_matmul_precision("highest"):
+        ref_logits, _ = jax.jit(
+            lambda p, s, x: forward(
+                p, s,
+                {f"block_{i}": jnp.ones((b.total_hidden,), jnp.float32)
+                 for i, b in enumerate(arch.blocks)},
+                x, arch=arch_f32, training=False,
+            )
+        )(params, stats, probe)
+        out_logits = jax.jit(
+            lambda f, x: forward_folded(f, x, arch=arch_f32)
+        )(folded, probe)
+    scale = max(1.0, float(jnp.max(jnp.abs(ref_logits))))
+    rel_diff = float(jnp.max(jnp.abs(ref_logits - out_logits))) / scale
+    if rel_diff > 1e-3:
+        raise RuntimeError(f"folded-net verification failed: rel diff {rel_diff}")
+
+    out = pathlib.Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    (out / "arch.json").write_text(arch.to_json())
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save((out / "folded").resolve(), folded, force=True)
+        ckptr.wait_until_finished()
+    manifest = {
+        "source_step": int(jax.device_get(state.step)),
+        "use_ema": use_ema,
+        "input_size": input_size,
+        "mflops": F.model_flops(arch, input_size) / 1e6,
+        "mparams": F.model_params(arch) / 1e6,
+        "verify_rel_diff": rel_diff,
+        "num_blocks": arch.num_blocks,
+        "live_atoms": arch.live_atoms(),
+    }
+    (out / "export.json").write_text(json.dumps(manifest, indent=2))
+    return manifest
+
+
+def load_deployment(
+    out_dir: str | pathlib.Path,
+) -> Tuple[ModelArch, Dict[str, Any], Dict[str, Any]]:
+    """Load (arch, folded_params, manifest) saved by export_deployment."""
+    out = pathlib.Path(out_dir)
+    arch = ModelArch.from_json((out / "arch.json").read_text())
+    manifest = json.loads((out / "export.json").read_text())
+    with ocp.StandardCheckpointer() as ckptr:
+        folded = ckptr.restore((out / "folded").resolve())
+    return arch, folded, manifest

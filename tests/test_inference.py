@@ -82,3 +82,43 @@ def test_fold_after_reslice():
     folded = fold_bn(res.arch, res.params, res.batch_stats)
     got = forward_folded(folded, x, arch=res.arch)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_export_deployment_roundtrip(tmp_path):
+    """export_deployment: masked supernet -> re-slice -> fold -> save ->
+    load -> identical logits (the serving hand-off, verified)."""
+    from atomnas_tpu.models.export import export_deployment, load_deployment
+    from atomnas_tpu.train.optim import make_optimizer
+    from atomnas_tpu.train.state import create_train_state
+    import optax
+
+    cfg = ModelConfig(
+        num_classes=10, input_size=16, stem_channels=8, head_channels=32,
+        compute_dtype="float32", dropout=0.0, inverted_residual_setting=TINY,
+    )
+    arch = supernet_arch(cfg)
+    params, stats = init_params(jax.random.key(0), arch)
+    masks = init_masks(arch)
+    # warm the stats and kill some atoms so export must re-slice
+    _, stats = forward(params, stats, masks, 
+                       jax.random.normal(jax.random.key(1), (8, 16, 16, 3)),
+                       arch=arch, training=True, rng=jax.random.key(2))
+    masks = {k: np.asarray(v).copy() for k, v in masks.items()}
+    masks["block_1"][: masks["block_1"].shape[0] // 2] = 0.0
+    masks = {k: jnp.asarray(v) for k, v in masks.items()}
+    state = create_train_state(params, stats, masks, optax.sgd(0.1))
+
+    manifest = export_deployment(state, arch, tmp_path / "exp",
+                                 use_ema=False, input_size=16)
+    assert manifest["verify_rel_diff"] < 1e-4
+    assert manifest["live_atoms"] < arch.live_atoms()  # actually compacted
+
+    arch2, folded, manifest2 = load_deployment(tmp_path / "exp")
+    assert manifest2 == manifest
+    x = jax.random.normal(jax.random.key(3), (4, 16, 16, 3))
+    from atomnas_tpu.models.inference import forward_folded as ff
+    # masked supernet logits == loaded folded-artifact logits
+    ref, _ = forward(params, stats, state.masks, x, arch=arch, training=False)
+    got = ff(jax.tree.map(jnp.asarray, folded), x, arch=arch2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-3, atol=1e-3)
