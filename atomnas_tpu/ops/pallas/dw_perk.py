@@ -36,17 +36,16 @@ _OUT_CHUNK = 16
 
 
 def _same_pads(size: int, stride: int, k: int) -> Tuple[int, int]:
-    out = -(-size // stride)
-    total = max((out - 1) * stride + k - size, 0)
-    lo = total // 2
-    return lo, total - lo
+    # torch-style symmetric k//2 padding (matches layers.depthwise_conv)
+    del size, stride
+    return k // 2, k // 2
 
 
 def _dwk(x: jax.Array, wk: jax.Array, stride: int, k: int) -> jax.Array:
     """XLA depthwise conv with (k*k, C) taps."""
     w = wk.reshape(k, k, 1, -1).astype(x.dtype)
     return jax.lax.conv_general_dilated(
-        x, w, (stride, stride), "SAME",
+        x, w, (stride, stride), ((k // 2, k // 2), (k // 2, k // 2)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=x.shape[-1],
     )

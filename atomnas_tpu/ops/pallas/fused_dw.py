@@ -23,8 +23,9 @@ revisited.
 
 Design notes:
 * All kernel-size branches run in one pallas_call: each branch's k x k taps
-  are zero-padded to 7x7 (exact — zero taps contribute nothing, and SAME
-  offsets coincide once centered; verified against lax in tests), so the
+  are zero-padded to 7x7 (exact — zero taps contribute nothing, and with
+  torch-style k//2 padding the centered windows coincide for every k and
+  stride; verified against lax in tests), so the
   kernel is a uniform 49-tap accumulation with per-channel tap weights.
 * Grid = (C_tiles, N) with full spatial extent per block; the batch axis is
   innermost so the (C,) stat sums accumulate across grid steps (sequential
@@ -86,10 +87,10 @@ def unpack_w49_grad(
 
 
 def _same_pads(size: int, stride: int) -> Tuple[int, int]:
-    out = -(-size // stride)
-    total = max((out - 1) * stride + K - size, 0)
-    lo = total // 2
-    return lo, total - lo
+    # torch-style symmetric K//2 padding (matches layers.depthwise_conv);
+    # output size is ceil(size/stride) for both strides, same as before
+    del stride
+    return K // 2, K // 2
 
 
 def _act(name: str):
@@ -125,7 +126,7 @@ def _act_grad(name: str):
 def _dw7(x: jax.Array, w49: jax.Array, stride: int) -> jax.Array:
     w = w49.reshape(K, K, 1, -1).astype(x.dtype)
     return jax.lax.conv_general_dilated(
-        x, w, (stride, stride), "SAME",
+        x, w, (stride, stride), ((K // 2, K // 2), (K // 2, K // 2)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=x.shape[-1],
     )

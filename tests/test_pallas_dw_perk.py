@@ -16,7 +16,8 @@ def chain_k(x, scale, bias, w, stride, act_name, k):
     act = FD._act(act_name)
     h = act(x.astype(jnp.float32) * scale + bias).astype(x.dtype)
     y = jax.lax.conv_general_dilated(
-        h, w.reshape(k, k, 1, -1).astype(h.dtype), (stride, stride), "SAME",
+        h, w.reshape(k, k, 1, -1).astype(h.dtype), (stride, stride),
+        ((k // 2, k // 2), (k // 2, k // 2)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=h.shape[-1],
     )

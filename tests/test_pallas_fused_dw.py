@@ -36,7 +36,8 @@ def branch_chain(x, scale, bias, dw, kernels, hidden, stride, act_name):
         sl = h[..., off : off + hc]
         outs.append(
             jax.lax.conv_general_dilated(
-                sl, dw[f"k{k}"].astype(sl.dtype), (stride, stride), "SAME",
+                sl, dw[f"k{k}"].astype(sl.dtype), (stride, stride),
+                ((k // 2, k // 2), (k // 2, k // 2)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 feature_group_count=hc,
             )

@@ -1,0 +1,272 @@
+"""Cross-framework parity: our fused TPU supernet vs an independent PyTorch
+implementation of the reference's module structure.
+
+The reference (mobilenet_base.py :: InvertedResidualChannels, SURVEY.md
+sec 2.1/3.2) runs each kernel branch as its own torch module chain
+``1x1 conv -> BN -> act -> kxk depthwise -> BN -> act -> [SE] -> 1x1 conv``
+and sums branch outputs. Our supernet fuses the per-branch pointwise convs
+into single matmuls over the concatenated hidden channels and keeps ONE BN
+over the concat (supernet.py docstring). These tests rebuild the reference's
+per-branch structure in PyTorch (written from the SURVEY description — the
+reference mount is empty), load OUR weights into it branch-by-branch, and
+assert the two frameworks produce the same logits and the same BN
+running-stat updates. This pins down, against a fully independent
+implementation:
+
+* fused expand/project matmul == per-branch 1x1 convs (the MXU redesign),
+* concatenated BN == per-branch BNs,
+* torch-style k//2 conv padding (incl. stride-2 window alignment),
+* torch BatchNorm2d train/eval semantics (biased norm, unbiased running
+  update, momentum),
+* ReLU6 / Swish / SqueezeAndExcitation math,
+* stem/head/GAP/classifier plumbing.
+
+The ONE deliberate deviation (documented in supernet.py) is also asserted:
+the project BN sits after the branch sum, so the torch model here applies a
+shared bn3 to the summed projection rather than per-branch-then-sum.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as TF
+
+from atomnas_tpu.config import BlockSetting, ModelConfig
+from atomnas_tpu.models import forward, init_masks, init_params, supernet_arch
+
+torch.manual_seed(0)
+
+TINY = (
+    BlockSetting(t=1, c=8, n=1, s=1, ks=(3,)),
+    BlockSetting(t=2, c=16, n=2, s=2),
+    BlockSetting(t=2, c=24, n=1, s=2),
+)
+
+
+def _t(x) -> torch.Tensor:
+    # np.array(copy=True): jax.device_get can return a zero-copy view of the
+    # JAX buffer, and torch BN updates running stats IN PLACE — without the
+    # copy, torch's forward would silently mutate our stats pytree.
+    return torch.from_numpy(np.array(jax.device_get(x), np.float32))
+
+
+def _act(name):
+    if name == "relu6":
+        return TF.relu6
+    if name == "swish":
+        return TF.silu
+    raise ValueError(name)
+
+
+class TorchSE(nn.Module):
+    """Reference SqueezeAndExcitation: GAP -> fc -> act -> fc -> sigmoid."""
+
+    def __init__(self, c, hidden, act):
+        super().__init__()
+        self.fc1 = nn.Linear(c, hidden)
+        self.fc2 = nn.Linear(hidden, c)
+        self.act = act
+
+    def forward(self, x):
+        s = x.mean((2, 3))
+        gate = torch.sigmoid(self.fc2(self.act(self.fc1(s))))
+        return x * gate[:, :, None, None]
+
+
+class TorchBranch(nn.Module):
+    """One kernel branch of the reference's InvertedResidualChannels."""
+
+    def __init__(self, cin, h, k, stride, cout, expand, se_hidden, act):
+        super().__init__()
+        self.expand, self.act = expand, act
+        if expand:
+            self.pw1 = nn.Conv2d(cin, h, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(h)
+        self.dw = nn.Conv2d(h, h, k, stride, padding=k // 2, groups=h, bias=False)
+        self.bn2 = nn.BatchNorm2d(h)
+        self.se = TorchSE(h, se_hidden, act) if se_hidden else None
+        self.pw2 = nn.Conv2d(h, cout, 1, bias=False)
+
+    def forward(self, x):
+        h = self.act(self.bn1(self.pw1(x))) if self.expand else x
+        h = self.act(self.bn2(self.dw(h)))
+        if self.se is not None:
+            h = self.se(h)
+        return self.pw2(h)
+
+
+class TorchBlock(nn.Module):
+    def __init__(self, b, act):
+        super().__init__()
+        self.residual = b.residual
+        self.branches = nn.ModuleList(
+            TorchBranch(
+                b.cin, h, k, b.stride, b.cout, b.expand,
+                b.se_hidden[j] if b.se_ratio > 0 else 0, act,
+            )
+            for j, (k, h) in enumerate(zip(b.kernels, b.hidden))
+        )
+        # deliberate deviation vs the reference: one bn3 after the branch
+        # sum instead of per-branch bn3-then-sum (supernet.py docstring)
+        self.bn3 = nn.BatchNorm2d(b.cout)
+
+    def forward(self, x):
+        y = self.bn3(sum(br(x) for br in self.branches))
+        return y + x if self.residual else y
+
+
+class TorchModel(nn.Module):
+    def __init__(self, arch):
+        super().__init__()
+        act = _act(arch.active_fn)
+        self.act = act
+        self.stem = nn.Conv2d(3, arch.stem_channels, 3, stride=2, padding=1,
+                              bias=False)
+        self.stem_bn = nn.BatchNorm2d(arch.stem_channels)
+        self.blocks = nn.ModuleList(TorchBlock(b, act) for b in arch.blocks)
+        c_last = arch.blocks[-1].cout
+        self.head = nn.Conv2d(c_last, arch.head_channels, 1, bias=False)
+        self.head_bn = nn.BatchNorm2d(arch.head_channels)
+        self.classifier = nn.Linear(arch.head_channels, arch.num_classes)
+
+    def forward(self, x):
+        h = self.act(self.stem_bn(self.stem(x)))
+        for blk in self.blocks:
+            h = blk(h)
+        h = self.act(self.head_bn(self.head(h)))
+        return self.classifier(h.mean((2, 3)))
+
+
+def _load_bn(bn: nn.BatchNorm2d, p, s, sl=slice(None)):
+    bn.weight.data = _t(p["scale"][sl])
+    bn.bias.data = _t(p["bias"][sl])
+    bn.running_mean.data = _t(s["mean"][sl])
+    bn.running_var.data = _t(s["var"][sl])
+
+
+def build_torch(arch, params, stats) -> TorchModel:
+    """Load our fused pytree into the per-branch torch reference model."""
+    m = TorchModel(arch)
+    m.stem.weight.data = _t(params["stem"]["w"]).permute(3, 2, 0, 1)
+    _load_bn(m.stem_bn, params["stem"]["bn"], stats["stem"]["bn"])
+    for i, b in enumerate(arch.blocks):
+        p, s = params["blocks"][i], stats["blocks"][i]
+        blk = m.blocks[i]
+        for j, (k, h) in enumerate(zip(b.kernels, b.hidden)):
+            off = b.splits[j]
+            sl = slice(off, off + h)
+            br = blk.branches[j]
+            if b.expand:
+                # fused (cin, total) expand -> branch Conv2d (h, cin, 1, 1)
+                br.pw1.weight.data = _t(p["pw1"][:, sl]).T[:, :, None, None]
+                _load_bn(br.bn1, p["bn1"], s["bn1"], sl)
+            br.dw.weight.data = _t(p["dw"][f"k{k}"]).permute(3, 2, 0, 1)
+            _load_bn(br.bn2, p["bn2"], s["bn2"], sl)
+            if b.se_ratio > 0:
+                se = p["se"][f"k{k}"]
+                br.se.fc1.weight.data = _t(se["w1"]).T
+                br.se.fc1.bias.data = _t(se["b1"])
+                br.se.fc2.weight.data = _t(se["w2"]).T
+                br.se.fc2.bias.data = _t(se["b2"])
+            # fused (total, cout) project -> branch Conv2d (cout, h, 1, 1)
+            br.pw2.weight.data = _t(p["pw2"][sl, :]).T[:, :, None, None]
+        _load_bn(blk.bn3, p["bn3"], s["bn3"])
+    m.head.weight.data = _t(params["head"]["w"]).T[:, :, None, None]
+    _load_bn(m.head_bn, params["head"]["bn"], stats["head"]["bn"])
+    m.classifier.weight.data = _t(params["classifier"]["w"]).T
+    m.classifier.bias.data = _t(params["classifier"]["b"])
+    return m
+
+
+def _setup(**model_kw):
+    cfg = ModelConfig(
+        num_classes=10, input_size=16, stem_channels=8, head_channels=32,
+        compute_dtype="float32", dropout=0.0,
+        inverted_residual_setting=TINY, **model_kw,
+    )
+    arch = supernet_arch(cfg)
+    params, stats = init_params(jax.random.key(0), arch)
+    masks = init_masks(arch)
+    x = np.random.RandomState(0).rand(4, 16, 16, 3).astype(np.float32)
+    return arch, params, stats, masks, x
+
+
+def _assert_stats_close(ours, theirs_bn):
+    np.testing.assert_allclose(
+        np.asarray(ours["mean"]), theirs_bn.running_mean.numpy(),
+        rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ours["var"]), theirs_bn.running_var.numpy(),
+        rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "model_kw",
+    [dict(), dict(active_fn="swish", se_ratio=0.25)],
+    ids=["relu6", "swish_se"],
+)
+def test_torch_parity_train_and_eval(model_kw):
+    arch, params, stats, masks, x = _setup(**model_kw)
+    tm = build_torch(arch, params, stats)
+    tx = torch.from_numpy(x).permute(0, 3, 1, 2)
+
+    fwd = jax.jit(
+        lambda p, s, m, xx, training: forward(
+            p, s, m, xx, arch=arch, training=training
+        ),
+        static_argnums=4,
+    )
+    with jax.default_matmul_precision("highest"):
+        logits_tr, new_stats = fwd(params, stats, masks, jnp.asarray(x), True)
+        tm.train()
+        with torch.no_grad():
+            t_logits_tr = tm(tx)
+        np.testing.assert_allclose(
+            np.asarray(logits_tr), t_logits_tr.numpy(), rtol=1e-3, atol=1e-5
+        )
+
+        # the train-mode forward must also update running stats identically
+        _assert_stats_close(new_stats["stem"]["bn"], tm.stem_bn)
+        _assert_stats_close(new_stats["head"]["bn"], tm.head_bn)
+        for i, b in enumerate(arch.blocks):
+            off, h0 = b.splits[0], b.hidden[0]
+            ours = new_stats["blocks"][i]["bn2"]
+            theirs = tm.blocks[i].branches[0].bn2
+            np.testing.assert_allclose(
+                np.asarray(ours["mean"][off : off + h0]),
+                theirs.running_mean.numpy(), rtol=1e-4, atol=1e-5)
+            _assert_stats_close(new_stats["blocks"][i]["bn3"],
+                                tm.blocks[i].bn3)
+
+        # eval mode with the updated stats
+        logits_ev, _ = fwd(params, new_stats, masks, jnp.asarray(x), False)
+        tm.eval()
+        with torch.no_grad():
+            t_logits_ev = tm(tx)
+        np.testing.assert_allclose(
+            np.asarray(logits_ev), t_logits_ev.numpy(), rtol=1e-3, atol=1e-5
+        )
+
+
+def test_torch_parity_stride2_window_alignment():
+    """The stride-2 conv windows must align with torch's padding=k//2 —
+    a pure-XLA "SAME" conv pads (0,1) instead of (1,1) at stride 2 and
+    silently shifts every downsampling layer by one input pixel."""
+    from atomnas_tpu.models import layers
+
+    x = np.random.RandomState(1).rand(2, 14, 14, 6).astype(np.float32)
+    for k in (3, 5, 7):
+        w = np.random.RandomState(k).rand(k, k, 1, 6).astype(np.float32)
+        ours = layers.depthwise_conv(jnp.asarray(x), jnp.asarray(w), stride=2)
+        theirs = TF.conv2d(
+            torch.from_numpy(x).permute(0, 3, 1, 2),
+            torch.from_numpy(w).permute(3, 2, 0, 1),
+            stride=2, padding=k // 2, groups=6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours), theirs.permute(0, 2, 3, 1).numpy(),
+            rtol=1e-5, atol=1e-5,
+        )
