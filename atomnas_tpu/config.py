@@ -76,8 +76,13 @@ class ModelConfig:
 
 @dataclasses.dataclass(frozen=True)
 class DataConfig:
-    dataset: str = "synthetic"  # synthetic | synthetic_learnable | imagefolder
-    root: str = ""  # dataset root for imagefolder
+    # synthetic | synthetic_learnable | imagefolder | tfrecord
+    dataset: str = "synthetic"
+    root: str = ""  # dataset root (imagefolder tree or TFRecord shard dir)
+    # tfrecord path only: records-per-shuffle-buffer and the label base of
+    # the shards (slim-style ImageNet TFRecords are 1-based; ours 0-based)
+    shuffle_buffer: int = 8192
+    tfrecord_label_offset: int = 0
     num_classes: int = 1000
     image_size: int = 224
     eval_image_size: int = 0  # 0 = same as image_size

@@ -198,23 +198,12 @@ def _color_jitter_tf(tf, cfg: DataConfig, img, sub):
     return img
 
 
-def make_imagefolder_train(cfg: DataConfig, seed: int = 0, start_step: int = 0):
-    """Resumable train pipeline: per-epoch numpy permutation (shared seed,
-    per-process shard — DistributedSampler semantics) + stateless per-slot
-    augmentation, so ``start_step=k`` continues exactly where an
-    uninterrupted run's k-th batch left off."""
-    tf = _tf()
-    files, labels, _ = _list_imagefolder(pathlib.Path(cfg.root) / "train")
-    files = np.asarray(files)
-    labels = np.asarray(labels, np.int32)
-    pc, pi = jax.process_count(), jax.process_index()
-    per_host = cfg.batch_size // pc
-    shard_len = max(len(files) // pc, 1)
+def make_decode_train_fn(tf, cfg: DataConfig, base_seed: int):
+    """Shared train decode+augment on raw JPEG bytes (imagefolder AND
+    tfrecord paths use this — identical augmentation distribution)."""
     size = cfg.image_size
-    base_seed = (seed * 2654435761 + 12345) % (2**31 - 1)
 
-    def decode_train(path, label, ordinal):
-        raw = tf.io.read_file(path)
+    def decode_train(raw, label, ordinal):
         s0 = tf.stack(
             [tf.constant(base_seed, tf.int64), tf.cast(ordinal, tf.int64)]
         )
@@ -248,6 +237,50 @@ def make_imagefolder_train(cfg: DataConfig, seed: int = 0, start_step: int = 0):
             img = _color_jitter_tf(tf, cfg, img, sub)
         img = tf.cast(tf.clip_by_value(img, 0.0, 255.0), tf.uint8)
         return img, tf.cast(label, tf.int32)
+
+    return decode_train
+
+
+def make_decode_eval_fn(tf, cfg: DataConfig):
+    """Shared eval decode on raw image bytes: torchvision Resize semantics
+    (shorter side -> ``eval_resize_size``, aspect preserved, bilinear) then
+    center-crop to ``eval_size``."""
+    size, resize = cfg.eval_size, cfg.eval_resize_size
+
+    def decode_eval(raw, label):
+        img = tf.io.decode_image(raw, channels=3, expand_animations=False)
+        hw = tf.shape(img)[:2]
+        short = tf.cast(tf.reduce_min(hw), tf.float32)
+        scale = tf.cast(resize, tf.float32) / short
+        nh = tf.cast(tf.round(tf.cast(hw[0], tf.float32) * scale), tf.int32)
+        nw = tf.cast(tf.round(tf.cast(hw[1], tf.float32) * scale), tf.int32)
+        img = tf.image.resize(img, (nh, nw), method="bilinear")
+        img = tf.image.crop_to_bounding_box(
+            img, (nh - size) // 2, (nw - size) // 2, size, size
+        )
+        img = tf.cast(tf.clip_by_value(img, 0.0, 255.0), tf.uint8)
+        return img, tf.cast(label, tf.int32)
+
+    return decode_eval
+
+
+def make_imagefolder_train(cfg: DataConfig, seed: int = 0, start_step: int = 0):
+    """Resumable train pipeline: per-epoch numpy permutation (shared seed,
+    per-process shard — DistributedSampler semantics) + stateless per-slot
+    augmentation, so ``start_step=k`` continues exactly where an
+    uninterrupted run's k-th batch left off."""
+    tf = _tf()
+    files, labels, _ = _list_imagefolder(pathlib.Path(cfg.root) / "train")
+    files = np.asarray(files)
+    labels = np.asarray(labels, np.int32)
+    pc, pi = jax.process_count(), jax.process_index()
+    per_host = cfg.batch_size // pc
+    shard_len = max(len(files) // pc, 1)
+    base_seed = (seed * 2654435761 + 12345) % (2**31 - 1)
+    decode = make_decode_train_fn(tf, cfg, base_seed)
+
+    def decode_train(path, label, ordinal):
+        return decode(tf.io.read_file(path), label, ordinal)
 
     steps_per_epoch = max(shard_len // per_host, 1)
 
@@ -283,7 +316,7 @@ def make_imagefolder_train(cfg: DataConfig, seed: int = 0, start_step: int = 0):
 def make_imagefolder_eval(cfg: DataConfig):
     tf = _tf()
     files, labels, _ = _list_imagefolder(pathlib.Path(cfg.root) / "val")
-    size, resize = cfg.eval_size, cfg.eval_resize_size
+    size = cfg.eval_size
     pc, pi = jax.process_count(), jax.process_index()
     per_host = cfg.eval_batch_size // pc
     my_files = files[pi::pc]
@@ -294,24 +327,10 @@ def make_imagefolder_eval(cfg: DataConfig):
     # largest shard; pad everyone to its batch count with valid=0 batches.
     max_shard = len(files[0::pc])
     num_batches = max(math.ceil(max_shard / per_host), 1)
+    decode = make_decode_eval_fn(tf, cfg)
 
     def decode_eval(path, label):
-        raw = tf.io.read_file(path)
-        img = tf.io.decode_image(raw, channels=3, expand_animations=False)
-        # torchvision Resize semantics: shorter side -> `resize`, aspect
-        # preserved, bilinear (round-1 verdict flagged the square-bicubic
-        # divergence); then center-crop to `size`.
-        hw = tf.shape(img)[:2]
-        short = tf.cast(tf.reduce_min(hw), tf.float32)
-        scale = tf.cast(resize, tf.float32) / short
-        nh = tf.cast(tf.round(tf.cast(hw[0], tf.float32) * scale), tf.int32)
-        nw = tf.cast(tf.round(tf.cast(hw[1], tf.float32) * scale), tf.int32)
-        img = tf.image.resize(img, (nh, nw), method="bilinear")
-        img = tf.image.crop_to_bounding_box(
-            img, (nh - size) // 2, (nw - size) // 2, size, size
-        )
-        img = tf.cast(tf.clip_by_value(img, 0.0, 255.0), tf.uint8)
-        return img, tf.cast(label, tf.int32)
+        return decode(tf.io.read_file(path), label)
 
     ds = tf.data.Dataset.from_tensor_slices(
         (np.asarray(my_files), np.asarray(my_labels, np.int32))
@@ -371,6 +390,10 @@ def make_train_iter(
                     subprocess.SubprocessError):
                 pass  # fall back to tf.data (no toolchain / non-JPEG files)
         return make_imagefolder_train(cfg, seed, start_step)()
+    if cfg.dataset == "tfrecord":
+        from atomnas_tpu.data import tfrecord
+
+        return tfrecord.make_tfrecord_train(cfg, seed, start_step)()
     raise ValueError(f"unknown dataset {cfg.dataset!r}")
 
 
@@ -392,6 +415,10 @@ def make_eval_iter(cfg: DataConfig) -> Any:
                     subprocess.SubprocessError):
                 pass  # fall back to tf.data (no toolchain / non-JPEG files)
         return make_imagefolder_eval(cfg)
+    if cfg.dataset == "tfrecord":
+        from atomnas_tpu.data import tfrecord
+
+        return tfrecord.make_tfrecord_eval(cfg)
     raise ValueError(f"unknown dataset {cfg.dataset!r}")
 
 

@@ -183,6 +183,43 @@ def test_real_jpeg_driver_end_to_end(tmp_path):
     assert len(events) >= 2
 
 
+@pytest.mark.slow
+def test_tfrecord_driver_end_to_end(tmp_path):
+    """The FULL driver over TFRecord shards (the pod-scale input format,
+    atomnas_tpu/data/tfrecord.py): convert a JPEG imagefolder with the real
+    script, then train + eval through Experiment with search ON."""
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+    try:
+        from scripts.make_fake_imagefolder import make_split
+        from scripts.make_tfrecords import main as convert
+    finally:
+        sys.path.pop(0)
+    root = tmp_path / "imgf"
+    make_split(root, "train", classes=5, per_class=16, size=16, seed=0)
+    make_split(root, "val", classes=5, per_class=5, size=16, seed=1)
+    tfr = tmp_path / "tfr"
+    convert([str(root), str(tfr), "--train-shards", "4", "--val-shards", "2"])
+
+    d = json.loads(json.dumps(TINY))
+    d["model"]["num_classes"] = 5
+    d["data"] = {
+        "dataset": "tfrecord", "root": str(tfr), "num_classes": 5,
+        "image_size": 16, "batch_size": 16, "eval_batch_size": 16,
+        "train_examples": 80, "eval_examples": 25, "shuffle_buffer": 64,
+    }
+    d["optim"]["epochs"] = 2
+    d["search"] = {
+        "enabled": True, "penalty": 0.02, "prune_threshold": 0.1,
+        "shrink_interval_steps": 5, "reslice_every_events": 2,
+    }
+    d["run"]["log_dir"] = str(tmp_path / "run")
+    summary = train_and_eval(config_from_dict(d))
+    assert summary["final_step"] == 10  # 5 steps/epoch x 2
+    assert summary["final_eval_examples"] == 25  # padded eval counted right
+
+
 def test_resume_matches_uninterrupted_bitwise(tmp_path):
     """Interrupt-at-step-4 + resume == one uninterrupted run: the data
     iterator fast-forwards (start_step) and the step rng folds in the step,
