@@ -251,6 +251,99 @@ def test_torch_parity_train_and_eval(model_kw):
         )
 
 
+def test_torch_gradient_parity():
+    """Backward parity: d(CE loss)/d(input) and key param grads must match
+    torch autograd through the per-branch reference model — this covers the
+    train-mode BN backward (gradients through batch moments), the fused
+    matmul backward, and the depthwise/residual chain end to end."""
+    arch, params, stats, masks, x = _setup()
+    tm = build_torch(arch, params, stats)
+    tm.train()
+    labels = np.arange(4) % 10
+
+    def loss_fn(p, xx):
+        logits, _ = forward(p, stats, masks, xx, arch=arch, training=True)
+        lp = jax.nn.log_softmax(logits)
+        return -jnp.mean(lp[jnp.arange(4), jnp.asarray(labels)])
+
+    with jax.default_matmul_precision("highest"):
+        gx = jax.grad(lambda xx: loss_fn(params, xx))(jnp.asarray(x))
+        gp = jax.grad(loss_fn)(params, jnp.asarray(x))
+
+    tx = torch.from_numpy(x.copy()).permute(0, 3, 1, 2).requires_grad_(True)
+    loss = TF.cross_entropy(tm(tx), torch.from_numpy(labels))
+    loss.backward()
+
+    np.testing.assert_allclose(
+        np.asarray(gx), tx.grad.permute(0, 2, 3, 1).numpy(),
+        rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(gp["classifier"]["w"]),
+        tm.classifier.weight.grad.numpy().T, rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(gp["stem"]["w"]),
+        tm.stem.weight.grad.permute(2, 3, 1, 0).numpy(),
+        rtol=1e-3, atol=1e-6)
+    # fused expand grad slice == branch pw1 grad; dw grad per branch
+    b = arch.blocks[1]
+    k, h = b.kernels[0], b.hidden[0]
+    br = tm.blocks[1].branches[0]
+    np.testing.assert_allclose(
+        np.asarray(gp["blocks"][1]["pw1"][:, : h]),
+        br.pw1.weight.grad.numpy()[:, :, 0, 0].T, rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(gp["blocks"][1]["dw"][f"k{k}"]),
+        br.dw.weight.grad.permute(2, 3, 1, 0).numpy(), rtol=1e-3, atol=1e-6)
+
+
+def test_torch_sgd_update_parity():
+    """Our optax chain (wd-before-momentum, nesterov trace) must reproduce
+    torch.optim.SGD(momentum, nesterov, per-group weight decay) exactly —
+    the reference's optimizer semantics (SURVEY.md sec 2.1 optim row)."""
+    import optax
+
+    from atomnas_tpu.config import OptimConfig
+    from atomnas_tpu.train.optim import make_optimizer
+
+    rng = np.random.RandomState(0)
+    params = {
+        "pw2": rng.randn(6, 4).astype(np.float32),      # decayed (ndim 2)
+        "bn1": {"scale": rng.randn(4).astype(np.float32)},  # excluded
+    }
+    cfg = OptimConfig(momentum=0.9, nesterov=True, weight_decay=1e-2)
+    tx = make_optimizer(cfg, lambda step: 0.1)
+    jp = jax.tree.map(jnp.asarray, params)
+    opt_state = tx.init(jp)
+
+    tp = {k: torch.tensor(v, requires_grad=True) if not isinstance(v, dict)
+          else {kk: torch.tensor(vv, requires_grad=True)
+                for kk, vv in v.items()}
+          for k, v in params.items()}
+    topt = torch.optim.SGD(
+        [{"params": [tp["pw2"]], "weight_decay": 1e-2},
+         {"params": [tp["bn1"]["scale"]], "weight_decay": 0.0}],
+        lr=0.1, momentum=0.9, nesterov=True)
+
+    for step in range(3):
+        g = {
+            "pw2": rng.randn(6, 4).astype(np.float32),
+            "bn1": {"scale": rng.randn(4).astype(np.float32)},
+        }
+        updates, opt_state = tx.update(
+            jax.tree.map(jnp.asarray, g), opt_state, jp)
+        jp = optax.apply_updates(jp, updates)
+        tp["pw2"].grad = torch.tensor(g["pw2"])
+        tp["bn1"]["scale"].grad = torch.tensor(g["bn1"]["scale"])
+        topt.step()
+
+    np.testing.assert_allclose(
+        np.asarray(jp["pw2"]), tp["pw2"].detach().numpy(),
+        rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(jp["bn1"]["scale"]), tp["bn1"]["scale"].detach().numpy(),
+        rtol=1e-5, atol=1e-7)
+
+
 def test_torch_parity_stride2_window_alignment():
     """The stride-2 conv windows must align with torch's padding=k//2 —
     a pure-XLA "SAME" conv pads (0,1) instead of (1,1) at stride 2 and
