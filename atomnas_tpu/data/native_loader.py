@@ -87,6 +87,9 @@ class _BaseLoader:
 
     def close(self) -> None:
         if getattr(self, "_handle", None):
+            # snapshot the failure count so failures() stays accurate after
+            # close (eval loaders never poll it mid-iteration)
+            self._warned_failures = int(self._lib.dl_failures(self._handle))
             self._lib.dl_destroy(self._handle)
             self._handle = None
 
@@ -96,7 +99,8 @@ class _BaseLoader:
         except Exception:
             pass
 
-    def _check_files(self, files):
+    @staticmethod
+    def _check_files(files):
         if not files:
             raise FileNotFoundError("empty file list for native loader")
         bad = next(
@@ -200,14 +204,11 @@ class NativeEvalLoader(_BaseLoader):
                 break
             emitted += 1
             yield {"image": images, "label": labels, "valid": valid}
+        from atomnas_tpu.data.pipeline import padding_batch
+
         while emitted < self._pad_to:
             emitted += 1
-            yield {
-                "image": np.zeros((self._batch, self._size, self._size, 3),
-                                  np.uint8),
-                "label": np.zeros((self._batch,), np.int32),
-                "valid": np.zeros((self._batch,), np.float32),
-            }
+            yield padding_batch(self._batch, self._size)
 
 
 def make_train_iter(
@@ -224,7 +225,11 @@ def make_train_iter(
     return iter(
         NativeTrainLoader(
             files, labels, batch=per_host, size=cfg.image_size,
-            threads=cfg.num_workers, seed=seed, ring=max(cfg.prefetch, 2),
+            threads=cfg.num_workers,
+            # fold the process index in so hosts draw INDEPENDENT crop/flip/
+            # jitter sequences (same-slot samples would otherwise share
+            # augmentation parameters across the pod)
+            seed=seed + pi * 7919, ring=max(cfg.prefetch, 2),
             start_step=start_step, jitter_cfg=cfg,
         )
     )
@@ -241,17 +246,13 @@ def make_eval_iter(cfg: DataConfig):
     per_host = cfg.eval_batch_size // pc
     max_shard = len(files[0::pc])  # round-robin: process 0 is largest
     num_batches = max(math.ceil(max_shard / per_host), 1)
-    # constructor validates (file list, JPEG-only, build) eagerly so the
-    # factory can fall back to tf.data before the first epoch
+    # validate the full file list + library build eagerly so the factory
+    # can fall back to tf.data before the first epoch
+    _BaseLoader._check_files(my_files)
     NativeEvalLoader(
         my_files[:1], my_labels[:1], batch=1, size=cfg.eval_size,
         resize=cfg.eval_resize_size, threads=1,
     ).close()
-    _check = next(
-        (f for f in my_files if not f.lower().endswith((".jpg", ".jpeg"))), None
-    )
-    if _check is not None:
-        raise ValueError(f"native loader handles JPEG only (saw {_check})")
 
     def gen():
         loader = NativeEvalLoader(

@@ -118,6 +118,17 @@ class SyntheticDataset:
                 remaining -= take
 
 
+def padding_batch(per_host: int, size: int) -> Batch:
+    """All-invalid batch used to equalize per-process eval batch counts
+    (the multihost deadlock guard; shared by the tf.data imagefolder,
+    tfrecord, and native eval paths)."""
+    return {
+        "image": np.zeros((per_host, size, size, 3), np.uint8),
+        "label": np.zeros((per_host,), np.int32),
+        "valid": np.zeros((per_host,), np.float32),
+    }
+
+
 def _pad_batch(batch: Batch, to: int) -> Batch:
     n = batch["label"].shape[0]
     pad = to - n
@@ -276,20 +287,32 @@ def make_imagefolder_train(cfg: DataConfig, seed: int = 0, start_step: int = 0):
     pc, pi = jax.process_count(), jax.process_index()
     per_host = cfg.batch_size // pc
     shard_len = max(len(files) // pc, 1)
-    base_seed = (seed * 2654435761 + 12345) % (2**31 - 1)
+    # fold the process index into the augmentation seed: hosts see different
+    # images AND draw independent crop/flip/jitter sequences (same-slot
+    # ordinals would otherwise share augmentation parameters pod-wide)
+    base_seed = (seed * 2654435761 + 12345 + pi * 1_000_003) % (2**31 - 1)
     decode = make_decode_train_fn(tf, cfg, base_seed)
 
     def decode_train(path, label, ordinal):
         return decode(tf.io.read_file(path), label, ordinal)
 
     steps_per_epoch = max(shard_len // per_host, 1)
+    epoch_len = steps_per_epoch * per_host
 
     def epoch_order(epoch: int) -> np.ndarray:
         # global permutation from a shared seed, then this process's shard:
         # each host sees a different subset each epoch (DistributedSampler)
         rng = np.random.RandomState((seed * 1_000_003 + epoch) % (2**31 - 1))
         perm = rng.permutation(len(files))
-        return perm[pi::pc][:shard_len]
+        mine = perm[pi::pc][:shard_len]
+        if len(mine) < epoch_len:
+            # shard smaller than one per-host batch: tile samples so the
+            # epoch still yields steps_per_epoch full batches (the
+            # DistributedSampler pad-to-even analogue; without this,
+            # batch(drop_remainder=True) yields nothing and the iterator
+            # would spin forever)
+            mine = np.resize(mine, epoch_len)
+        return mine
 
     def gen():
         epoch, off = divmod(start_step, steps_per_epoch)
@@ -297,7 +320,9 @@ def make_imagefolder_train(cfg: DataConfig, seed: int = 0, start_step: int = 0):
             order = epoch_order(epoch)
             # slot ordinal keys the stateless augmentation: identical for
             # the same (epoch, position) in any run, resumed or not
-            ordinals = np.arange(len(order), dtype=np.int64) + epoch * shard_len
+            ordinals = np.arange(len(order), dtype=np.int64) + epoch * max(
+                shard_len, epoch_len
+            )
             sel = slice(off * per_host, steps_per_epoch * per_host)
             ds = tf.data.Dataset.from_tensor_slices(
                 (files[order][sel], labels[order][sel], ordinals[sel])
@@ -353,11 +378,7 @@ def make_imagefolder_eval(cfg: DataConfig):
             yield batch
             emitted += 1
         while emitted < num_batches:  # equalize batch counts across hosts
-            yield {
-                "image": np.zeros((per_host, size, size, 3), np.uint8),
-                "label": np.zeros((per_host,), np.int32),
-                "valid": np.zeros((per_host,), np.float32),
-            }
+            yield padding_batch(per_host, size)
             emitted += 1
 
     return gen

@@ -45,6 +45,7 @@ from atomnas_tpu.data.pipeline import (
     _tf,
     make_decode_eval_fn,
     make_decode_train_fn,
+    padding_batch,
 )
 
 COUNTS_FILE = "counts.json"
@@ -100,7 +101,8 @@ def make_tfrecord_train(cfg: DataConfig, seed: int = 0, start_step: int = 0):
     pc, pi = jax.process_count(), jax.process_index()
     per_host = cfg.batch_size // pc
     steps = max(cfg.train_examples // cfg.batch_size, 1)
-    base_seed = (seed * 2654435761 + 12345) % (2**31 - 1)
+    # per-process augmentation seed (see pipeline.make_imagefolder_train)
+    base_seed = (seed * 2654435761 + 12345 + pi * 1_000_003) % (2**31 - 1)
     decode = make_decode_train_fn(tf, cfg, base_seed)
     offset = cfg.tfrecord_label_offset
 
@@ -184,11 +186,7 @@ def make_tfrecord_eval(cfg: DataConfig):
             yield batch
             emitted += 1
         while emitted < num_batches:
-            yield {
-                "image": np.zeros((per_host, size, size, 3), np.uint8),
-                "label": np.zeros((per_host,), np.int32),
-                "valid": np.zeros((per_host,), np.float32),
-            }
+            yield padding_batch(per_host, size)
             emitted += 1
 
     return gen

@@ -51,8 +51,7 @@ def export_deployment(
     )
     if dead:
         # compact the masked supernet first (bit-equivalent, tested)
-        res = shrinklib.reslice(arch, params, stats, masks,
-                                params if use_ema else state.ema_params)
+        res = shrinklib.reslice(arch, params, stats, masks, state.ema_params)
         arch, params, stats = res.arch, res.params, res.batch_stats
 
     folded = jax.device_get(fold_bn(arch, params, stats))

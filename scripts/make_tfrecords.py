@@ -17,8 +17,7 @@ from __future__ import annotations
 import argparse
 import json
 import pathlib
-
-IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp")
+import sys
 
 
 def _bytes_feature(tf, v):
@@ -39,14 +38,15 @@ def _to_jpeg_bytes(tf, path: pathlib.Path) -> bytes:
 
 def convert_split(tf, src: pathlib.Path, out: pathlib.Path, split: str,
                   num_shards: int, counts: dict) -> None:
-    classes = sorted(d.name for d in src.iterdir() if d.is_dir())
-    items = []
-    for li, c in enumerate(classes):
-        for f in sorted((src / c).rglob("*")):
-            if f.suffix.lower() in IMAGE_EXTS:
-                items.append((f, li, c))
-    if not items:
-        raise FileNotFoundError(f"no images under {src}")
+    # the ONE label-assignment walk (sorted class dirs): shared with the
+    # imagefolder pipeline so TFRecord labels can never de-sync from it
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+    try:
+        from atomnas_tpu.data.pipeline import _list_imagefolder
+    finally:
+        sys.path.pop(0)
+    files, labels, classes = _list_imagefolder(src)
+    items = [(pathlib.Path(f), li, classes[li]) for f, li in zip(files, labels)]
     num_shards = max(1, min(num_shards, len(items)))
     for si in range(num_shards):
         name = f"{split}-{si:05d}-of-{num_shards:05d}"

@@ -133,6 +133,25 @@ def test_imagefolder_eval_shorter_side_and_process_padding(tmp_path, monkeypatch
     assert valids[0] + valids[1] == 5
 
 
+@pytest.mark.slow
+def test_imagefolder_shard_smaller_than_batch_yields(tmp_path):
+    """A shard smaller than one per-host batch must tile samples and still
+    yield full batches (DistributedSampler pad-to-even analogue), not spin
+    forever on an empty drop_remainder batch."""
+    _write_imagefolder(tmp_path, "train", classes=2, per_class=3)  # 6 < 8
+    cfg = DataConfig(
+        dataset="imagefolder", root=str(tmp_path), num_classes=2,
+        image_size=16, batch_size=8, use_native_decoder=False,
+    )
+    it = pipeline.make_train_iter(cfg, seed=0)
+    b1, b2 = next(it), next(it)
+    assert b1["image"].shape == (8, 16, 16, 3)
+    assert b2["image"].shape == (8, 16, 16, 3)
+    # resume still works in the tiled regime
+    it2 = pipeline.make_train_iter(cfg, seed=0, start_step=1)
+    np.testing.assert_array_equal(b2["image"], next(it2)["image"])
+
+
 def test_steps_per_epoch():
     cfg = DataConfig(batch_size=256, train_examples=1000)
     assert pipeline.steps_per_epoch(cfg) == 3
