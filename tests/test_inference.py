@@ -84,6 +84,66 @@ def test_fold_after_reslice():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
+def test_predict_cli_on_exported_artifact(tmp_path):
+    """cli/predict consumes an export artifact end to end: JPEG file ->
+    eval transform -> folded forward -> calibrated top-k JSON."""
+    from PIL import Image
+
+    from atomnas_tpu.cli.predict import main as predict_main, preprocess
+    from atomnas_tpu.models.export import export_deployment
+    from atomnas_tpu.train.state import create_train_state
+    import optax
+
+    cfg = ModelConfig(
+        num_classes=10, input_size=16, stem_channels=8, head_channels=32,
+        compute_dtype="float32", dropout=0.0, inverted_residual_setting=TINY,
+    )
+    arch = supernet_arch(cfg)
+    params, stats = init_params(jax.random.key(0), arch)
+    masks = init_masks(arch)
+    _, stats = forward(params, stats, masks,
+                       jax.random.normal(jax.random.key(1), (8, 16, 16, 3)),
+                       arch=arch, training=True, rng=jax.random.key(2))
+    state = create_train_state(params, stats, masks, optax.sgd(0.1))
+    export_deployment(state, arch, tmp_path / "exp", use_ema=False,
+                      input_size=16)
+
+    rng = np.random.RandomState(0)
+    img_paths = []
+    for i in range(2):
+        p = tmp_path / f"img{i}.jpg"
+        Image.fromarray(
+            rng.randint(0, 255, (24, 30, 3), dtype=np.uint8)  # non-square
+        ).save(p, quality=95)
+        img_paths.append(str(p))
+
+    results = predict_main(["--artifact", str(tmp_path / "exp"),
+                            *img_paths, "--top", "3"])
+    assert len(results) == 2
+    for r in results:
+        assert len(r["top_classes"]) == 3
+        assert all(0 <= c < 10 for c in r["top_classes"])
+        probs = r["top_probs"]
+        assert probs == sorted(probs, reverse=True)
+        assert 0 < sum(probs) <= 1.0 + 1e-5
+
+    # the CLI's probabilities agree with a direct folded forward on the
+    # same preprocessed input
+    from atomnas_tpu.config import DataConfig
+    from atomnas_tpu.models.export import load_deployment
+    from atomnas_tpu.models.inference import forward_folded as ff
+
+    arch2, folded, _ = load_deployment(tmp_path / "exp")
+    dcfg = DataConfig()
+    x = preprocess(img_paths[0], 16, dcfg.mean, dcfg.std)[None]
+    logits = ff(jax.tree.map(jnp.asarray, folded), jnp.asarray(x), arch=arch2)
+    probs = np.asarray(jax.nn.softmax(logits[0]))
+    top = int(np.argmax(probs))
+    assert results[0]["top_classes"][0] == top
+    np.testing.assert_allclose(results[0]["top_probs"][0], probs[top],
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_export_deployment_roundtrip(tmp_path):
     """export_deployment: masked supernet -> re-slice -> fold -> save ->
     load -> identical logits (the serving hand-off, verified)."""
