@@ -344,6 +344,102 @@ def test_torch_sgd_update_parity():
         rtol=1e-5, atol=1e-7)
 
 
+def test_torch_training_loop_parity():
+    """FOUR full steps of the real jitted train step (make_train_step: label-
+    smoothed CE, masked weight decay, nesterov SGD, EMA warmup ramp, BN
+    running-stat updates) must track a hand-written torch training loop over
+    the per-branch reference model — params, EMA shadow, BN stats, and the
+    next-step logits all agree. This pins the END-TO-END training semantics,
+    not just one forward/backward."""
+    import optax
+
+    from atomnas_tpu.config import DataConfig, OptimConfig, SearchConfig
+    from atomnas_tpu.train.optim import make_optimizer
+    from atomnas_tpu.train.state import create_train_state
+    from atomnas_tpu.train.step import make_train_step
+
+    arch, params, stats, masks, _ = _setup()
+    tm = build_torch(arch, params, stats)
+
+    lr, wd, mu, ema_d, smooth = 0.05, 1e-4, 0.9, 0.9, 0.1
+    ocfg = OptimConfig(momentum=mu, nesterov=True, weight_decay=wd,
+                       ema_decay=ema_d, label_smoothing=smooth)
+    scfg = SearchConfig(enabled=False)
+    dcfg = DataConfig(mixup_alpha=0.0)
+    tx = make_optimizer(ocfg, lambda step: lr)
+    state = create_train_state(params, stats, masks, tx)
+    step_fn = jax.jit(make_train_step(
+        arch, ocfg, scfg, dcfg, tx, lambda step: lr, {}, 16))
+
+    # torch optimizer: decayed = conv/fc kernels except depthwise; excluded
+    # = every BN scale/bias, biases, depthwise kernels (weight_decay_mask)
+    decayed, excluded = [], []
+    for name, p in tm.named_parameters():
+        is_dw = name.endswith("dw.weight")
+        is_bn = "bn" in name
+        is_bias = name.endswith(".bias")
+        (excluded if (is_dw or is_bn or is_bias) else decayed).append(p)
+    topt = torch.optim.SGD(
+        [{"params": decayed, "weight_decay": wd},
+         {"params": excluded, "weight_decay": 0.0}],
+        lr=lr, momentum=mu, nesterov=True)
+    ema_shadow = {n: p.detach().clone() for n, p in tm.named_parameters()}
+
+    rng = np.random.RandomState(0)
+    rkey = jax.random.key(0)
+    tm.train()
+    with jax.default_matmul_precision("highest"):
+        for step in range(4):
+            x = rng.rand(8, 16, 16, 3).astype(np.float32)  # pre-normalized
+            y = rng.randint(0, 10, (8,))
+            batch = {"image": jnp.asarray(x), "label": jnp.asarray(y)}
+            state, metrics = step_fn(state, batch, rkey)
+
+            topt.zero_grad()
+            out = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+            loss = TF.cross_entropy(out, torch.from_numpy(y),
+                                    label_smoothing=smooth)
+            loss.backward()
+            np.testing.assert_allclose(float(metrics["ce"]),
+                                       float(loss.detach()),
+                                       rtol=1e-4, atol=1e-6)
+            topt.step()
+            decay = min(ema_d, (1.0 + step) / (10.0 + step))  # warmup ramp
+            with torch.no_grad():
+                for n, p in tm.named_parameters():
+                    ema_shadow[n].mul_(decay).add_(p, alpha=1.0 - decay)
+
+        # params, BN running stats, EMA shadow, and eval logits all agree
+        np.testing.assert_allclose(
+            np.asarray(state.params["classifier"]["w"]),
+            tm.classifier.weight.detach().numpy().T, rtol=1e-3, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(state.params["stem"]["w"]),
+            tm.stem.weight.detach().permute(2, 3, 1, 0).numpy(),
+            rtol=1e-3, atol=1e-6)
+        b = arch.blocks[1]
+        k, h = b.kernels[0], b.hidden[0]
+        np.testing.assert_allclose(
+            np.asarray(state.params["blocks"][1]["dw"][f"k{k}"]),
+            tm.blocks[1].branches[0].dw.weight.detach()
+              .permute(2, 3, 1, 0).numpy(), rtol=1e-3, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(state.batch_stats["stem"]["bn"]["var"]),
+            tm.stem_bn.running_var.numpy(), rtol=1e-3, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(state.ema_params["classifier"]["w"]),
+            ema_shadow["classifier.weight"].numpy().T, rtol=1e-3, atol=1e-6)
+
+        xe = np.random.RandomState(9).rand(4, 16, 16, 3).astype(np.float32)
+        ours, _ = forward(state.params, state.batch_stats, masks,
+                          jnp.asarray(xe), arch=arch, training=False)
+        tm.eval()
+        with torch.no_grad():
+            theirs = tm(torch.from_numpy(xe).permute(0, 3, 1, 2))
+        np.testing.assert_allclose(np.asarray(ours), theirs.numpy(),
+                                   rtol=1e-3, atol=1e-5)
+
+
 def test_torch_parity_stride2_window_alignment():
     """The stride-2 conv windows must align with torch's padding=k//2 —
     a pure-XLA "SAME" conv pads (0,1) instead of (1,1) at stride 2 and
