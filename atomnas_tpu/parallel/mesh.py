@@ -73,6 +73,30 @@ def param_shardings(mesh: Mesh, params: Dict[str, Any]):
     return jax.tree_util.tree_map_with_path(decide, params)
 
 
+def host_put(x, sharding: NamedSharding):
+    """Put host data onto a mesh sharding, multi-process safe.
+
+    Single-process: plain device_put. Multi-process: the mesh spans devices
+    this process cannot address, so device_put is rejected; build the global
+    array from the (identical-on-every-process) host value with
+    make_array_from_callback instead. Works for replicated AND
+    model-axis-sharded leaves (the callback slices per device index)."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    import jax.numpy as jnp
+
+    if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
+        # typed PRNG keys have no numpy form: ship the raw key data and
+        # re-wrap (all processes hold the same key, so this is replicated)
+        data = np.asarray(jax.random.key_data(x))
+        arr = jax.make_array_from_callback(
+            data.shape, sharding, lambda idx: data[idx]
+        )
+        return jax.random.wrap_key_data(arr)
+    xa = np.asarray(x)
+    return jax.make_array_from_callback(xa.shape, sharding, lambda idx: xa[idx])
+
+
 def place_state(mesh: Mesh, state):
     """Place a TrainState on the mesh: params/EMA via the sharding rules
     (model-axis head/classifier when mesh.model > 1), everything else
@@ -80,14 +104,15 @@ def place_state(mesh: Mesh, state):
     jitted step via propagation."""
     pshard = param_shardings(mesh, state.params)
     rep = replicated(mesh)
+    put_rep = lambda tree: jax.tree.map(lambda a: host_put(a, rep), tree)
     return state.replace(
-        params=jax.tree.map(jax.device_put, state.params, pshard),
-        ema_params=jax.tree.map(jax.device_put, state.ema_params, pshard),
-        batch_stats=jax.device_put(state.batch_stats, rep),
-        masks=jax.device_put(state.masks, rep),
-        opt_state=jax.device_put(state.opt_state, rep),
-        step=jax.device_put(state.step, rep),
-        shrink_events=jax.device_put(state.shrink_events, rep),
+        params=jax.tree.map(host_put, state.params, pshard),
+        ema_params=jax.tree.map(host_put, state.ema_params, pshard),
+        batch_stats=put_rep(state.batch_stats),
+        masks=put_rep(state.masks),
+        opt_state=put_rep(state.opt_state),
+        step=host_put(state.step, rep),
+        shrink_events=host_put(state.shrink_events, rep),
     )
 
 

@@ -289,7 +289,7 @@ class Experiment:
             self.mesh,
             size=max(cfg.data.prefetch, 1),
         )
-        rng = jax.device_put(
+        rng = meshlib.host_put(
             jax.random.key(cfg.run.seed), meshlib.replicated(self.mesh)
         )
         meters_keys = ("loss", "ce", "penalty", "top1")

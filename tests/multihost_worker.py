@@ -1,0 +1,115 @@
+"""Worker for the REAL multi-process integration test (not a test module).
+
+Launched by tests/test_multihost_real.py as 2 OS processes, each with 4
+fake CPU devices and ``jax.distributed.initialize`` over localhost (Gloo
+cross-process collectives) — the same code path a TPU pod slice takes
+(SURVEY.md sec 2.4: `init_dist` bootstrap → per-process local batches →
+global all-reduce), with zero mocks: real distributed init, real
+``make_array_from_process_local_data`` assembly via mesh.shard_batch, real
+cross-process grad/BN reductions inserted by GSPMD.
+
+Usage: python multihost_worker.py <rank> <nprocs> <port> <out.json>
+"""
+
+import json
+import os
+import sys
+
+
+def main() -> None:
+    rank, nprocs, port, out = (
+        int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+    )
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        f"localhost:{port}", num_processes=nprocs, process_id=rank
+    )
+    result = run_training(jax, local_rows=slice(rank * 8, (rank + 1) * 8))
+    result["rank"] = rank
+    result["process_count"] = jax.process_count()
+    result["global_devices"] = jax.device_count()
+    with open(out, "w") as f:
+        json.dump(result, f)
+
+
+def run_training(jax, local_rows: slice) -> dict:
+    """Two real train steps over the mesh; every process passes only its
+    LOCAL batch rows. Returns replica-checkable summaries."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from atomnas_tpu.config import (
+        BlockSetting, DataConfig, MeshConfig, ModelConfig, OptimConfig,
+        SearchConfig,
+    )
+    from atomnas_tpu.models import init_masks, init_params, supernet_arch
+    from atomnas_tpu.parallel import mesh as meshlib
+    from atomnas_tpu.train.optim import make_optimizer
+    from atomnas_tpu.train.state import create_train_state
+    from atomnas_tpu.train.step import make_train_step
+
+    mcfg = ModelConfig(
+        num_classes=8, input_size=16, stem_channels=8, head_channels=32,
+        compute_dtype="float32", dropout=0.0,
+        inverted_residual_setting=(
+            BlockSetting(t=1, c=8, n=1, s=1, ks=(3,)),
+            BlockSetting(t=2, c=16, n=1, s=2),
+        ),
+    )
+    ocfg = OptimConfig(momentum=0.9, nesterov=True, weight_decay=1e-4,
+                       ema_decay=0.9)
+    scfg = SearchConfig(enabled=False)
+    dcfg = DataConfig(mixup_alpha=0.0)
+
+    arch = supernet_arch(mcfg)
+    params, stats = init_params(jax.random.key(0), arch)
+    masks = init_masks(arch)
+    tx = make_optimizer(ocfg, lambda step: 0.05)
+    state = create_train_state(params, stats, masks, tx)
+
+    mesh = meshlib.make_mesh(MeshConfig())  # all 8 global devices, DP
+    state = meshlib.place_state(mesh, state)
+    rng = meshlib.host_put(jax.random.key(7), meshlib.replicated(mesh))
+    step_fn = jax.jit(
+        make_train_step(arch, ocfg, scfg, dcfg, tx, lambda step: 0.05, {},
+                        mcfg.input_size),
+        donate_argnums=0,
+    )
+
+    # deterministic GLOBAL batch; each process contributes only its rows
+    rs = np.random.RandomState(42)
+    losses = []
+    for step in range(2):
+        g_img = rs.rand(16, 16, 16, 3).astype(np.float32)
+        g_lab = rs.randint(0, 8, (16,)).astype(np.int32)
+        batch = meshlib.shard_batch(
+            mesh, {"image": g_img[local_rows], "label": g_lab[local_rows]}
+        )
+        state, metrics = step_fn(state, batch, rng)
+        losses.append(float(np.asarray(metrics["loss"].addressable_data(0))))
+
+    meshlib.assert_replica_consistent(state.masks, "masks")
+
+    def local(x):
+        return np.asarray(x.addressable_data(0))
+
+    checksum = float(
+        sum(np.abs(local(l)).sum() for l in jax.tree.leaves(state.params))
+    )
+    return {
+        "losses": losses,
+        "param_checksum": checksum,
+        "classifier_w00": float(local(state.params["classifier"]["w"])[0, 0]),
+        "stem_bn_var0": float(local(state.batch_stats["stem"]["bn"]["var"])[0]),
+        "ema_checksum": float(
+            sum(np.abs(local(l)).sum() for l in jax.tree.leaves(state.ema_params))
+        ),
+    }
+
+
+if __name__ == "__main__":
+    main()
