@@ -427,9 +427,10 @@ class Experiment:
             ) / 1e6,
             **{f"final_{k}": v for k, v in last_eval.items()},
         }
-        (pathlib.Path(cfg.run.log_dir) / "summary.json").write_text(
-            json.dumps(summary, indent=2)
-        )
+        if jax.process_index() == 0:  # master-only shared-file write
+            (pathlib.Path(cfg.run.log_dir) / "summary.json").write_text(
+                json.dumps(summary, indent=2)
+            )
         self.log.info("done: %s", summary)
         return summary
 

@@ -45,6 +45,7 @@ def save_checkpoint(
     root.mkdir(parents=True, exist_ok=True)
     step = int(jax.device_get(state.step))
     path = _step_dir(root, step)
+    master = jax.process_index() == 0
     meta = {
         "arch": arch.to_json(),
         "normalizer": normalizer,
@@ -52,15 +53,19 @@ def save_checkpoint(
         "shrink_events": int(jax.device_get(state.shrink_events)),
         **(extra or {}),
     }
-    if path.exists():
+    if master and path.exists():
         shutil.rmtree(path)
+    # orbax's save/wait are COLLECTIVE (they barrier across processes), so
+    # EVERY process must enter them; orbax's primary host does the actual
+    # writing. Only the master writes the meta.json commit marker and GCs.
     with ocp.StandardCheckpointer() as ckptr:
         # orbax saves asynchronously; wait before writing meta.json, which
         # acts as the commit marker (latest_step ignores dirs without it)
         ckptr.save(path.resolve() / "state", jax.device_get(state))
         ckptr.wait_until_finished()
-    (path / "meta.json").write_text(json.dumps(meta))
-    _gc(root, keep)
+    if master:
+        (path / "meta.json").write_text(json.dumps(meta))
+        _gc(root, keep)
     return path
 
 

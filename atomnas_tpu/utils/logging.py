@@ -19,12 +19,32 @@ from typing import Any, Dict, Optional
 import jax
 
 
+def is_master() -> bool:
+    """Process 0 owns all shared file writes and INFO logging (reference
+    parity: utils/distributed.py master-only decorators, SURVEY.md sec
+    2.1 distributed row)."""
+    return jax.process_index() == 0
+
+
 def setup_logging(log_dir: str | pathlib.Path, name: str = "atomnas") -> logging.Logger:
     path = pathlib.Path(log_dir)
     path.mkdir(parents=True, exist_ok=True)
     logger = logging.getLogger(name)
-    logger.setLevel(logging.INFO)
     logger.handlers.clear()
+    logger.propagate = False
+    if not is_master():
+        # non-master: warnings/errors only, to stdout, rank-tagged; the
+        # shared train.log file belongs to process 0
+        logger.setLevel(logging.WARNING)
+        fmt = logging.Formatter(
+            f"%(asctime)s %(levelname).1s [r{jax.process_index()}] %(message)s",
+            "%H:%M:%S",
+        )
+        sh = logging.StreamHandler(sys.stdout)
+        sh.setFormatter(fmt)
+        logger.addHandler(sh)
+        return logger
+    logger.setLevel(logging.INFO)
     fmt = logging.Formatter("%(asctime)s %(levelname).1s %(message)s", "%H:%M:%S")
     sh = logging.StreamHandler(sys.stdout)
     sh.setFormatter(fmt)
@@ -32,7 +52,6 @@ def setup_logging(log_dir: str | pathlib.Path, name: str = "atomnas") -> logging
     fh = logging.FileHandler(path / "train.log")
     fh.setFormatter(fmt)
     logger.addHandler(fh)
-    logger.propagate = False
     return logger
 
 
@@ -88,8 +107,11 @@ class MetricWriter:
         self.dir.mkdir(parents=True, exist_ok=True)
         self._jsonl = self.dir / "metrics.jsonl"
         self._headers: Dict[str, list] = {}
+        self._master = is_master()
 
     def write(self, step: int, metrics: Dict[str, Any], stream: str = "train") -> None:
+        if not self._master:  # metric values are replicated; master writes
+            return
         row = {"step": step}
         for k, v in metrics.items():
             try:
@@ -111,6 +133,8 @@ class MetricWriter:
             f.write(json.dumps({"stream": stream, **row}) + "\n")
 
     def dump_arch(self, step: int, arch_json: str, masks_summary: Dict[str, Any]) -> None:
+        if not self._master:
+            return
         path = self.dir / "arch_events.jsonl"
         with path.open("a") as f:
             f.write(

@@ -20,6 +20,7 @@ def main() -> None:
     rank, nprocs, port, out = (
         int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
     )
+    mode = sys.argv[5] if len(sys.argv) > 5 else "step"
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     import jax
@@ -28,12 +29,49 @@ def main() -> None:
     jax.distributed.initialize(
         f"localhost:{port}", num_processes=nprocs, process_id=rank
     )
-    result = run_training(jax, local_rows=slice(rank * 8, (rank + 1) * 8))
+    if mode == "driver":
+        result = run_driver(sys.argv[6])
+    else:
+        result = run_training(jax, local_rows=slice(rank * 8, (rank + 1) * 8))
     result["rank"] = rank
     result["process_count"] = jax.process_count()
     result["global_devices"] = jax.device_count()
     with open(out, "w") as f:
         json.dump(result, f)
+
+
+def driver_config(log_dir: str):
+    """Tiny synthetic search config for the full-driver multihost test."""
+    from atomnas_tpu.config import config_from_dict
+
+    return config_from_dict({
+        "model": {
+            "num_classes": 10, "input_size": 16, "stem_channels": 8,
+            "head_channels": 32, "compute_dtype": "float32", "dropout": 0.0,
+            "inverted_residual_setting": [
+                [1, 8, 1, 1, [3]], [2, 16, 2, 2], [2, 24, 1, 2],
+            ],
+        },
+        "data": {
+            "dataset": "synthetic", "num_classes": 10, "image_size": 16,
+            "batch_size": 16, "eval_batch_size": 16,
+            "train_examples": 64, "eval_examples": 24,
+        },
+        "optim": {"epochs": 3, "base_lr": 0.05, "base_batch": 16,
+                  "warmup_epochs": 0.0, "ema_decay": 0.99},
+        "search": {"enabled": True, "penalty": 0.05, "prune_threshold": 0.2,
+                   "shrink_interval_steps": 3, "reslice_every_events": 2},
+        "run": {"log_dir": log_dir, "log_interval_steps": 4},
+    })
+
+
+def run_driver(log_dir: str) -> dict:
+    """The FULL Experiment (search ON: mask updates, re-slice-and-recompile,
+    checkpointing, padded eval) across real processes."""
+    from atomnas_tpu.train.loop import train_and_eval
+
+    summary = train_and_eval(driver_config(log_dir))
+    return {"summary": summary}
 
 
 def run_training(jax, local_rows: slice) -> dict:

@@ -77,3 +77,70 @@ def test_two_process_training_matches_single_process(tmp_path):
         np.testing.assert_allclose(
             single[key], results[0][key], rtol=1e-5, atol=1e-7,
             err_msg=f"2-process vs single-process divergence in {key}")
+
+
+@pytest.mark.slow
+def test_two_process_full_driver_with_search(tmp_path):
+    """The COMPLETE Experiment across 2 real processes: search ON (in-jit
+    mask updates + host re-slice-and-recompile under the multi-process
+    mesh), master-only checkpoint/metrics/summary writes, padded eval.
+    Both ranks must report the identical summary, and a single-process run
+    of the same config must match it."""
+    worker = pathlib.Path(__file__).parent / "multihost_worker.py"
+    repo = str(pathlib.Path(__file__).parent.parent)
+    port = "12363"
+    log_dir = tmp_path / "run"
+    procs = []
+    for rank in range(2):
+        out = tmp_path / f"rank{rank}.json"
+        procs.append((
+            subprocess.Popen(
+                [sys.executable, str(worker), str(rank), "2", port, str(out),
+                 "driver", str(log_dir)],
+                env={"PATH": "/usr/bin:/bin", "PYTHONPATH": repo,
+                     "HOME": "/root"},
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, cwd=repo,
+            ),
+            out,
+        ))
+    results = {}
+    for rank, (p, out) in enumerate(procs):
+        try:
+            stdout, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q, _ in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, (
+            f"rank {rank} failed:\n{stdout.decode(errors='replace')[-3000:]}"
+        )
+        results[rank] = json.loads(out.read_text())
+
+    s0, s1 = results[0]["summary"], results[1]["summary"]
+    assert s0["final_step"] == 12  # 3 epochs x 4 steps
+    for key in s0:
+        np.testing.assert_allclose(s0[key], s1[key], rtol=1e-6,
+                                   err_msg=f"rank summary divergence in {key}")
+    assert s0["final_mflops"] < 0.223  # atoms actually died under search
+    assert s0["final_eval_examples"] == 24
+
+    # master-only ownership: exactly one train.log/ckpt tree, written by r0
+    assert (log_dir / "train.log").exists()
+    assert (log_dir / "summary.json").exists()
+    assert (log_dir / "metrics_train.csv").exists()
+    ckpts = sorted((log_dir / "checkpoints").glob("step_*/meta.json"))
+    assert ckpts, "master wrote no checkpoints"
+
+    # a single-process run of the same config completes the same schedule
+    # (numeric equality is NOT expected here: the synthetic dataset draws
+    # per-process streams, so the global batches differ by topology —
+    # exact topology invariance on identical data is proven at the step
+    # level by test_two_process_training_matches_single_process)
+    from tests.multihost_worker import driver_config
+
+    from atomnas_tpu.train.loop import train_and_eval
+
+    single = train_and_eval(driver_config(str(tmp_path / "run_single")))
+    assert single["final_step"] == s0["final_step"]
+    assert single["final_eval_examples"] == s0["final_eval_examples"]
+    assert single["final_mflops"] < 0.223  # search converges either way
