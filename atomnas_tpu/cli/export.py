@@ -44,6 +44,7 @@ def main(argv=None):
         state, arch, args.out,
         use_ema=not args.raw_weights and cfg.optim.ema_decay > 0,
         input_size=cfg.model.input_size,
+        data_cfg=cfg.data,
     )
     print(json.dumps(manifest, indent=2))
     return manifest

@@ -19,12 +19,14 @@ import json
 import numpy as np
 
 
-def preprocess(path: str, size: int, mean, std) -> np.ndarray:
-    """Eval transform on one image file: shorter side -> ~size*256/224,
-    center crop ``size``, normalize; returns (size, size, 3) float32."""
+def preprocess(path: str, size: int, mean, std,
+               resize: int | None = None) -> np.ndarray:
+    """Eval transform on one image file: shorter side -> ``resize``
+    (default ~size*256/224), center crop ``size``, normalize; returns
+    (size, size, 3) float32."""
     from PIL import Image
 
-    resize = max(int(size * 256 / 224), size)
+    resize = max(resize or int(size * 256 / 224), size)
     img = Image.open(path).convert("RGB")
     w, h = img.size
     scale = resize / min(w, h)
@@ -51,15 +53,22 @@ def predict(artifact_dir: str, paths, top: int = 5, batch_size: int = 64):
     arch, folded, manifest = load_deployment(artifact_dir)
     folded = jax.tree.map(jnp.asarray, folded)
     size = int(manifest["input_size"])
-    dcfg = DataConfig()  # ImageNet mean/std defaults
+    # preprocessing contract from the manifest (older artifacts without the
+    # keys fall back to the DataConfig defaults they were exported under)
+    dcfg = DataConfig()
+    mean = manifest.get("mean", dcfg.mean)
+    std = manifest.get("std", dcfg.std)
+    resize = manifest.get("eval_resize")
 
-    fwd = jax.jit(lambda x: jax.nn.softmax(
-        forward_folded(folded, x, arch=arch).astype(jnp.float32), axis=-1))
+    # folded is an ARGUMENT, not a closure capture: capturing would bake
+    # every weight into the executable as compile-time constants
+    fwd = jax.jit(lambda f, x: jax.nn.softmax(
+        forward_folded(f, x, arch=arch).astype(jnp.float32), axis=-1))
 
     for i in range(0, len(paths), batch_size):
         chunk = paths[i : i + batch_size]
-        x = np.stack([preprocess(p, size, dcfg.mean, dcfg.std) for p in chunk])
-        probs = np.asarray(fwd(jnp.asarray(x)))
+        x = np.stack([preprocess(p, size, mean, std, resize) for p in chunk])
+        probs = np.asarray(fwd(folded, jnp.asarray(x)))
         for p, pr in zip(chunk, probs):
             idx = np.argsort(pr)[::-1][:top]
             yield {

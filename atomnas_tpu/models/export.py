@@ -38,6 +38,7 @@ def export_deployment(
     *,
     use_ema: bool = True,
     input_size: int = 224,
+    data_cfg=None,
 ) -> Dict[str, Any]:
     """Write a verified deployment artifact; returns its manifest."""
     from atomnas_tpu.search import shrink as shrinklib
@@ -84,10 +85,20 @@ def export_deployment(
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save((out / "folded").resolve(), folded, force=True)
         ckptr.wait_until_finished()
+    # preprocessing contract travels WITH the artifact: a model trained
+    # under non-default normalization/resize must be served the same way
+    # (cli/predict consumes these; defaults match DataConfig)
+    if data_cfg is None:
+        from atomnas_tpu.config import DataConfig
+
+        data_cfg = DataConfig(image_size=input_size)
     manifest = {
         "source_step": int(jax.device_get(state.step)),
         "use_ema": use_ema,
         "input_size": input_size,
+        "mean": list(data_cfg.mean),
+        "std": list(data_cfg.std),
+        "eval_resize": int(data_cfg.eval_resize_size),
         "mflops": F.model_flops(arch, input_size) / 1e6,
         "mparams": F.model_params(arch) / 1e6,
         "verify_rel_diff": rel_diff,

@@ -317,7 +317,20 @@ class Experiment:
         msteps = 0
         profiling = False
         last_eval = {}
+        multi = jax.process_count() > 1
         for step in range(start, self.total_steps):
+            if multi:
+                # signal delivery is per-process and asynchronous; the
+                # collective checkpoint-and-exit below must be entered by
+                # EVERY rank or the others deadlock in the next step's
+                # all-reduces. Agree on the flag with a tiny host
+                # all-gather each step (microseconds vs a train step).
+                from jax.experimental import multihost_utils
+
+                flags = multihost_utils.process_allgather(
+                    np.asarray(bool(interrupted["flag"]), np.int32)
+                )
+                interrupted["flag"] = bool(np.asarray(flags).any())
             if interrupted["flag"]:
                 if profiling:
                     jax.profiler.stop_trace()

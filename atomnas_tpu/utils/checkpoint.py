@@ -53,15 +53,19 @@ def save_checkpoint(
         "shrink_events": int(jax.device_get(state.shrink_events)),
         **(extra or {}),
     }
-    if master and path.exists():
-        shutil.rmtree(path)
+    if master and (path / "meta.json").exists():
+        (path / "meta.json").unlink()  # invalidate a stale commit marker
     # orbax's save/wait are COLLECTIVE (they barrier across processes), so
     # EVERY process must enter them; orbax's primary host does the actual
-    # writing. Only the master writes the meta.json commit marker and GCs.
+    # writing, and force=True handles an existing destination INSIDE the
+    # collective (a master-only rmtree beforehand would race the other
+    # ranks' destination-exists check). The state is passed as live
+    # (possibly sharded) jax.Arrays — device_get would fail on model-axis
+    # params spanning processes; orbax saves sharded arrays natively.
     with ocp.StandardCheckpointer() as ckptr:
         # orbax saves asynchronously; wait before writing meta.json, which
         # acts as the commit marker (latest_step ignores dirs without it)
-        ckptr.save(path.resolve() / "state", jax.device_get(state))
+        ckptr.save(path.resolve() / "state", state, force=True)
         ckptr.wait_until_finished()
     if master:
         (path / "meta.json").write_text(json.dumps(meta))

@@ -22,36 +22,47 @@ import numpy as np
 import pytest
 
 
-@pytest.mark.slow
-def test_two_process_training_matches_single_process(tmp_path):
+def _run_workers(tmp_path, port: str, extra_args=()):
+    """Launch 2 worker ranks; stdout goes to FILES (a PIPE would deadlock a
+    chatty rank against a sequential communicate) and every peer is killed
+    on any failure (an orphan would hang in Gloo collectives forever)."""
     worker = pathlib.Path(__file__).parent / "multihost_worker.py"
     repo = str(pathlib.Path(__file__).parent.parent)
-    port = "12361"
     procs = []
-    for rank in range(2):
-        out = tmp_path / f"rank{rank}.json"
-        procs.append((
-            subprocess.Popen(
-                [sys.executable, str(worker), str(rank), "2", port, str(out)],
-                env={"PATH": "/usr/bin:/bin", "PYTHONPATH": repo,
-                     "HOME": "/root"},
-                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                cwd=repo,
-            ),
-            out,
-        ))
-    results = {}
-    for rank, (p, out) in enumerate(procs):
-        try:
-            stdout, _ = p.communicate(timeout=540)
-        except subprocess.TimeoutExpired:
-            for q, _ in procs:
-                q.kill()
-            raise
-        assert p.returncode == 0, (
-            f"rank {rank} failed:\n{stdout.decode(errors='replace')[-3000:]}"
-        )
-        results[rank] = json.loads(out.read_text())
+    try:
+        for rank in range(2):
+            out = tmp_path / f"rank{rank}.json"
+            log = (tmp_path / f"rank{rank}.log").open("wb")
+            procs.append((
+                subprocess.Popen(
+                    [sys.executable, str(worker), str(rank), "2", port,
+                     str(out), *extra_args],
+                    env={"PATH": "/usr/bin:/bin", "PYTHONPATH": repo,
+                         "HOME": "/root"},
+                    stdout=log, stderr=subprocess.STDOUT, cwd=repo,
+                ),
+                out, log,
+            ))
+        results = {}
+        for rank, (p, out, log) in enumerate(procs):
+            p.wait(timeout=540)
+            assert p.returncode == 0, (
+                f"rank {rank} failed:\n"
+                + (tmp_path / f"rank{rank}.log").read_text(
+                    errors="replace")[-3000:]
+            )
+            results[rank] = json.loads(out.read_text())
+        return results
+    finally:
+        for p, _, log in procs:
+            if p.poll() is None:
+                p.kill()
+            log.close()
+
+
+@pytest.mark.slow
+def test_two_process_training_matches_single_process(tmp_path):
+    results = _run_workers(tmp_path, "12361")
 
     for rank in (0, 1):
         assert results[rank]["process_count"] == 2
@@ -86,35 +97,8 @@ def test_two_process_full_driver_with_search(tmp_path):
     mesh), master-only checkpoint/metrics/summary writes, padded eval.
     Both ranks must report the identical summary, and a single-process run
     of the same config must match it."""
-    worker = pathlib.Path(__file__).parent / "multihost_worker.py"
-    repo = str(pathlib.Path(__file__).parent.parent)
-    port = "12363"
     log_dir = tmp_path / "run"
-    procs = []
-    for rank in range(2):
-        out = tmp_path / f"rank{rank}.json"
-        procs.append((
-            subprocess.Popen(
-                [sys.executable, str(worker), str(rank), "2", port, str(out),
-                 "driver", str(log_dir)],
-                env={"PATH": "/usr/bin:/bin", "PYTHONPATH": repo,
-                     "HOME": "/root"},
-                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, cwd=repo,
-            ),
-            out,
-        ))
-    results = {}
-    for rank, (p, out) in enumerate(procs):
-        try:
-            stdout, _ = p.communicate(timeout=540)
-        except subprocess.TimeoutExpired:
-            for q, _ in procs:
-                q.kill()
-            raise
-        assert p.returncode == 0, (
-            f"rank {rank} failed:\n{stdout.decode(errors='replace')[-3000:]}"
-        )
-        results[rank] = json.loads(out.read_text())
+    results = _run_workers(tmp_path, "12363", ("driver", str(log_dir)))
 
     s0, s1 = results[0]["summary"], results[1]["summary"]
     assert s0["final_step"] == 12  # 3 epochs x 4 steps
