@@ -31,6 +31,18 @@ def main() -> None:
     )
     if mode == "driver":
         result = run_driver(sys.argv[6])
+    elif mode == "driver_sigterm":
+        # preemption drill: ONLY rank 1 receives SIGTERM (as a scheduler
+        # would hit one host); the flag all-gather must spread it so every
+        # rank checkpoints and exits together instead of deadlocking
+        if rank == 1:
+            import signal
+            import threading
+
+            threading.Timer(
+                30.0, lambda: os.kill(os.getpid(), signal.SIGTERM)
+            ).start()
+        result = run_driver(sys.argv[6], epochs=2000)
     else:
         result = run_training(jax, local_rows=slice(rank * 8, (rank + 1) * 8))
     result["rank"] = rank
@@ -40,7 +52,7 @@ def main() -> None:
         json.dump(result, f)
 
 
-def driver_config(log_dir: str):
+def driver_config(log_dir: str, epochs: int = 3):
     """Tiny synthetic search config for the full-driver multihost test."""
     from atomnas_tpu.config import config_from_dict
 
@@ -57,7 +69,7 @@ def driver_config(log_dir: str):
             "batch_size": 16, "eval_batch_size": 16,
             "train_examples": 64, "eval_examples": 24,
         },
-        "optim": {"epochs": 3, "base_lr": 0.05, "base_batch": 16,
+        "optim": {"epochs": epochs, "base_lr": 0.05, "base_batch": 16,
                   "warmup_epochs": 0.0, "ema_decay": 0.99},
         "search": {"enabled": True, "penalty": 0.05, "prune_threshold": 0.2,
                    "shrink_interval_steps": 3, "reslice_every_events": 2},
@@ -65,12 +77,12 @@ def driver_config(log_dir: str):
     })
 
 
-def run_driver(log_dir: str) -> dict:
+def run_driver(log_dir: str, epochs: int = 3) -> dict:
     """The FULL Experiment (search ON: mask updates, re-slice-and-recompile,
     checkpointing, padded eval) across real processes."""
     from atomnas_tpu.train.loop import train_and_eval
 
-    summary = train_and_eval(driver_config(log_dir))
+    summary = train_and_eval(driver_config(log_dir, epochs=epochs))
     return {"summary": summary}
 
 

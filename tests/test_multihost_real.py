@@ -128,3 +128,22 @@ def test_two_process_full_driver_with_search(tmp_path):
     assert single["final_step"] == s0["final_step"]
     assert single["final_eval_examples"] == s0["final_eval_examples"]
     assert single["final_mflops"] < 0.223  # search converges either way
+
+
+@pytest.mark.slow
+def test_two_process_preemption_sigterm_one_rank(tmp_path):
+    """Preemption drill: SIGTERM delivered to ONLY rank 1 mid-training (as a
+    scheduler hits one host). The per-step flag all-gather must spread the
+    interrupt so BOTH ranks enter the collective checkpoint-and-exit
+    together — without it, rank 1 checkpoints alone while rank 0 deadlocks
+    in the next step's all-reduces."""
+    log_dir = tmp_path / "run"
+    results = _run_workers(tmp_path, "12365", ("driver_sigterm", str(log_dir)))
+    s0, s1 = results[0]["summary"], results[1]["summary"]
+    # both ranks took the interrupted exit at the SAME step
+    assert "interrupted_at" in s0 and "interrupted_at" in s1, (s0, s1)
+    assert s0["interrupted_at"] == s1["interrupted_at"]
+    assert s0["interrupted_at"] < 2000 * 4  # genuinely mid-run
+    # the interrupt checkpoint was committed by the master
+    ckpt = pathlib.Path(s0["checkpoint"])
+    assert (ckpt / "meta.json").exists()
