@@ -34,14 +34,26 @@ def main() -> None:
     elif mode == "driver_sigterm":
         # preemption drill: ONLY rank 1 receives SIGTERM (as a scheduler
         # would hit one host); the flag all-gather must spread it so every
-        # rank checkpoints and exits together instead of deadlocking
+        # rank checkpoints and exits together instead of deadlocking.
+        # Trigger only once training demonstrably started (master's first
+        # metrics row exists => both ranks are mid-loop with handlers
+        # installed) — a fixed timer can fire during compile under load,
+        # killing rank 1 before the handler exists.
         if rank == 1:
+            import pathlib
             import signal
             import threading
+            import time
 
-            threading.Timer(
-                30.0, lambda: os.kill(os.getpid(), signal.SIGTERM)
-            ).start()
+            marker = pathlib.Path(sys.argv[6]) / "metrics_train.csv"
+
+            def _fire():
+                while not marker.exists():
+                    time.sleep(0.5)
+                time.sleep(2.0)
+                os.kill(os.getpid(), signal.SIGTERM)
+
+            threading.Thread(target=_fire, daemon=True).start()
         result = run_driver(sys.argv[6], epochs=2000)
     else:
         result = run_training(jax, local_rows=slice(rank * 8, (rank + 1) * 8))
