@@ -176,6 +176,10 @@ class RunConfig:
     eval_interval_epochs: int = 1
     checkpoint_interval_epochs: int = 1
     keep_checkpoints: int = 3
+    # multi-process only: agree on SIGTERM/SIGINT across ranks every N
+    # steps (blocking host all-gather; preemption grace is tens of seconds
+    # so a few steps of detection latency is free)
+    interrupt_sync_steps: int = 10
     test_only: bool = False
     pretrained: str = ""  # checkpoint path for test_only / finetune
     resume: bool = True  # auto-resume from latest checkpoint in log_dir

@@ -318,20 +318,32 @@ class Experiment:
         profiling = False
         last_eval = {}
         multi = jax.process_count() > 1
+        if multi:
+            from jax.experimental import multihost_utils
+        sync_every = max(cfg.run.interrupt_sync_steps, 1)
         for step in range(start, self.total_steps):
+            # Signal delivery is per-process and asynchronous; the
+            # collective checkpoint-and-exit below must be entered by EVERY
+            # rank or the others deadlock in the next step's all-reduces.
+            # Agree via an all-gather of the flag every `sync_every` steps
+            # (a blocking host round-trip — amortized, since preemption
+            # grace is tens of seconds). The local value is READ ONCE and
+            # the consensus decides; never write the gathered value back
+            # into the latch (a handler firing mid-gather would be
+            # clobbered and the one-and-only SIGTERM lost), and never act
+            # on the mutable flag directly in multi-process (a signal
+            # landing after the gather must wait for the next consensus,
+            # identically on every rank).
+            stop = bool(interrupted["flag"])
             if multi:
-                # signal delivery is per-process and asynchronous; the
-                # collective checkpoint-and-exit below must be entered by
-                # EVERY rank or the others deadlock in the next step's
-                # all-reduces. Agree on the flag with a tiny host
-                # all-gather each step (microseconds vs a train step).
-                from jax.experimental import multihost_utils
-
-                flags = multihost_utils.process_allgather(
-                    np.asarray(bool(interrupted["flag"]), np.int32)
-                )
-                interrupted["flag"] = bool(np.asarray(flags).any())
-            if interrupted["flag"]:
+                if step % sync_every == 0:
+                    flags = multihost_utils.process_allgather(
+                        np.asarray(stop, np.int32)
+                    )
+                    stop = bool(np.asarray(flags).any())
+                else:
+                    stop = False
+            if stop:
                 if profiling:
                     jax.profiler.stop_trace()
                 path = ckptlib.save_checkpoint(

@@ -190,7 +190,11 @@ def _supervise() -> int:
     import subprocess
     import time
 
-    attempts, stall_s = 3, 150.0
+    # stall_s must exceed the longest LEGITIMATE stderr-silent phase — the
+    # jit compile after the "compiling..." line (measured ~35 s on v5e;
+    # 180 s is >5x margin) — while 3 attempts x 180 s still fits under the
+    # driver's ~590 s budget with one full successful run (~150 s) to spare
+    attempts, stall_s = 3, 180.0
     for attempt in range(1, attempts + 1):
         env = dict(os.environ, ATOMNAS_BENCH_CHILD="1")
         child = subprocess.Popen(

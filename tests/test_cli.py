@@ -68,5 +68,5 @@ def test_train_then_eval_cli_end_to_end(tmp_path):
         "--config", str(cfg_path), "--checkpoint", ckpts,
         "--latency", "--latency-batch", "2",
     ])
-    assert {"final_top1", "final_top5"} <= set(metrics) or \
-        {"top1", "top5"} <= set(metrics)
+    assert {"top1", "top5", "eval_ce", "eval_examples"} <= set(metrics)
+    assert metrics["eval_examples"] == 16
