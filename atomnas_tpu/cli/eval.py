@@ -55,6 +55,10 @@ def main(argv=None):
     print(F.profile_table(exp.arch, cfg.model.input_size,
                           jax.device_get(exp.state.masks),
                           latency_ms=latency_ms))
+    if latency_ms is not None:
+        print("note: per-module ms are standalone-jit timings; they exclude "
+              "cross-module XLA fusion, so the column sum != end-to-end "
+              "step latency (use it as a relative per-block profile).")
     metrics = exp.train()  # test_only path
     print({k: round(float(v), 4) for k, v in metrics.items()})
     return metrics

@@ -447,6 +447,45 @@ def steps_per_epoch(cfg: DataConfig) -> int:
     return max(cfg.train_examples // cfg.batch_size, 1)
 
 
+def actual_train_examples(cfg: DataConfig) -> int | None:
+    """The REAL train example count the pipeline will serve, when cheaply
+    knowable, else None.
+
+    The reference derives epoch length from the dataset itself
+    (``DistributedSampler(len(dataset))`` — SURVEY.md sec 3.1 data row);
+    here ``cfg.train_examples`` is a hand-set number that drives the LR
+    schedule, epoch semantics and eval/ckpt cadence, so the driver
+    cross-checks it against this at startup (train/loop.py).
+
+    * synthetic: None — ``train_examples`` *defines* the dataset.
+    * imagefolder: length of the listed file tree (cheap; every process
+      lists the same tree, so all agree).
+    * tfrecord: sum of the train shards' ``counts.json`` entries when the
+      sidecar covers them; None otherwise (an implicit counting pass would
+      read every train byte — too costly to do silently at pod scale).
+    """
+    if cfg.dataset in ("synthetic", "synthetic_learnable"):
+        return None
+    if cfg.dataset == "imagefolder":
+        files, _, _ = _list_imagefolder(pathlib.Path(cfg.root) / "train")
+        return len(files)
+    if cfg.dataset == "tfrecord":
+        import json
+
+        from atomnas_tpu.data import tfrecord
+
+        counts_path = pathlib.Path(cfg.root) / tfrecord.COUNTS_FILE
+        if not counts_path.exists():
+            return None
+        counts = json.loads(counts_path.read_text())
+        files = tfrecord._shards(cfg.root, "train")
+        names = [pathlib.Path(f).name for f in files]
+        if not all(n in counts for n in names):
+            return None
+        return sum(int(counts[n]) for n in names)
+    return None
+
+
 def device_prefetch(iterator: Iterator[Batch], mesh, size: int = 2) -> Iterator[Batch]:
     """Stage host batches onto the mesh ``size`` steps ahead of consumption.
 

@@ -23,10 +23,13 @@ over record shards:
   derivable from the step, so resume is bit-exact (``start_step`` skips
   within the epoch's deterministic stream), matching the imagefolder
   contract tested in tests/test_data.py.
-* eval shards at RECORD level (`ds.shard(pc, pi)`) and equalizes per-process
-  batch counts from the global record count (``counts.json`` fast path, or
-  a one-time counting pass) — the multihost deadlock guard the round-1
-  advisor mandated for imagefolder eval, same invariant here.
+* eval shards at FILE level when possible (DALI shards its file reader by
+  rank — SURVEY.md sec 3.5): each process opens only its ~1/pc of the shard
+  files, with per-process batch counts equalized from ``counts.json`` so the
+  jitted eval step's collectives never deadlock. Record-level sharding
+  (`ds.shard(pc, pi)` — every host streams ALL the bytes and keeps 1/pc)
+  remains only as the fallback when counts are unknown or there are fewer
+  files than processes.
 """
 
 from __future__ import annotations
@@ -80,18 +83,28 @@ def count_records(files: List[str]) -> int:
     return int(ds.reduce(np.int64(0), lambda x, _: x + 1).numpy())
 
 
-def _total_eval_records(cfg: DataConfig, files: List[str]) -> int:
-    """Global eval record count: counts.json sidecar, else a counting pass.
+def _file_counts(cfg: DataConfig, files: List[str]) -> dict | None:
+    """Per-file record counts from the ``counts.json`` sidecar, keyed by
+    shard basename; None when the sidecar is absent or incomplete.
 
-    Every process derives the SAME number from the same inputs, which is
+    Every process derives the SAME numbers from the same file, which is
     what the cross-process batch-count equalization rests on.
     """
     counts_path = pathlib.Path(cfg.root) / COUNTS_FILE
-    if counts_path.exists():
-        counts = json.loads(counts_path.read_text())
-        names = [pathlib.Path(f).name for f in files]
-        if all(n in counts for n in names):
-            return sum(int(counts[n]) for n in names)
+    if not counts_path.exists():
+        return None
+    counts = json.loads(counts_path.read_text())
+    names = [pathlib.Path(f).name for f in files]
+    if not all(n in counts for n in names):
+        return None
+    return {n: int(counts[n]) for n in names}
+
+
+def _total_eval_records(cfg: DataConfig, files: List[str]) -> int:
+    """Global eval record count: counts.json sidecar, else a counting pass."""
+    counts = _file_counts(cfg, files)
+    if counts is not None:
+        return sum(counts.values())
     return count_records(files)
 
 
@@ -156,10 +169,28 @@ def make_tfrecord_eval(cfg: DataConfig):
     pc, pi = jax.process_count(), jax.process_index()
     per_host = cfg.eval_batch_size // pc
     size = cfg.eval_size
-    n_total = _total_eval_records(cfg, files)
-    # record-level shard: process 0 holds the largest shard; everyone pads
-    # to its batch count (multihost deadlock guard, as in imagefolder eval)
-    num_batches = max(math.ceil(math.ceil(n_total / pc) / per_host), 1)
+    counts = _file_counts(cfg, files)
+    if counts is not None and len(files) >= pc:
+        # FILE-level shard (the DALI file-reader-by-rank analogue): each
+        # process opens only files[pi::pc] — ~1/pc of the eval bytes. The
+        # deadlock guard needs every process to emit the SAME batch count;
+        # counts.json lets each process compute every process's record
+        # count deterministically and pad to the global max.
+        my_files = [files[i] for i in range(pi, len(files), pc)]
+        per_proc = [
+            sum(counts[pathlib.Path(files[i]).name]
+                for i in range(p, len(files), pc))
+            for p in range(pc)
+        ]
+        num_batches = max(max(math.ceil(n / per_host) for n in per_proc), 1)
+    else:
+        # fallback: record-level shard — every host streams ALL the bytes
+        # and keeps record (i % pc == pi); needed when counts are unknown
+        # (equalization must not require a per-host counting pass) or when
+        # there are fewer shard files than processes.
+        my_files = None
+        n_total = _total_eval_records(cfg, files)
+        num_batches = max(math.ceil(math.ceil(n_total / pc) / per_host), 1)
     decode = make_decode_eval_fn(tf, cfg)
     offset = cfg.tfrecord_label_offset
 
@@ -168,8 +199,11 @@ def make_tfrecord_eval(cfg: DataConfig):
         return decode(raw, label)
 
     def gen():
-        ds = tf.data.TFRecordDataset(files)  # sequential => shard is stable
-        ds = ds.shard(pc, pi)
+        if my_files is not None:
+            ds = tf.data.TFRecordDataset(my_files)  # file-level shard
+        else:
+            ds = tf.data.TFRecordDataset(files)  # sequential => stable shard
+            ds = ds.shard(pc, pi)
         ds = ds.map(parse, num_parallel_calls=tf.data.AUTOTUNE)
         ds = ds.batch(per_host, drop_remainder=False)
         ds = ds.prefetch(cfg.prefetch)

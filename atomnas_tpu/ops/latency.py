@@ -12,6 +12,12 @@ and timed on the device:
 
 ``module_latency`` feeds the per-block ms column of
 ``ops.flops.profile_table`` (cli/eval.py --latency).
+
+CAVEAT: each module is timed as a STANDALONE jitted program, so the numbers
+exclude the cross-module fusion XLA performs in the real end-to-end graph —
+the column sum is a relative per-block profile, NOT the model's true step
+latency (the reference's per-module hook timing has the same composition
+caveat).
 """
 
 from __future__ import annotations

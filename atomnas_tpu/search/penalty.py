@@ -82,12 +82,3 @@ def penalty_term(
         gamma = block["bn2"]["scale"].astype(jnp.float32)
         total = total + jnp.sum(weights[key] * masks[key] * jnp.abs(gamma))
     return rho * total
-
-
-def gather_gammas(params: Params) -> Dict[str, jax.Array]:
-    """The penalized BN scales, keyed like masks (reference:
-    get_bn_to_prune)."""
-    return {
-        f"block_{i}": block["bn2"]["scale"]
-        for i, block in enumerate(params["blocks"])
-    }

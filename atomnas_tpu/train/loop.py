@@ -55,6 +55,26 @@ class Experiment:
         set_random_seed(cfg.run.seed)
 
         self.mesh = meshlib.make_mesh(cfg.mesh)
+        # cross-check the hand-set train_examples against the real dataset
+        # size (reference derives epoch length from len(dataset) — SURVEY.md
+        # sec 3.1); a stale config number silently miscalibrates the LR
+        # schedule, epoch semantics and eval/ckpt cadence, so adopt the
+        # real count loudly when they disagree by more than one batch.
+        actual = pipeline.actual_train_examples(cfg.data)
+        if (
+            actual is not None
+            and abs(actual - cfg.data.train_examples) > cfg.data.batch_size
+        ):
+            self.log.warning(
+                "data.train_examples=%d but the dataset serves %d examples; "
+                "adopting %d (steps_per_epoch, LR schedule and epoch "
+                "cadence follow the real count)",
+                cfg.data.train_examples, actual, actual,
+            )
+            cfg = dataclasses.replace(
+                cfg, data=dataclasses.replace(cfg.data, train_examples=actual)
+            )
+            self.cfg = cfg
         self.steps_per_epoch = pipeline.steps_per_epoch(cfg.data)
         self.total_steps = cfg.run.num_train_steps or (
             cfg.optim.epochs * self.steps_per_epoch
@@ -234,14 +254,25 @@ class Experiment:
         params = self.state.ema_params if use_ema else self.state.params
         stats = self.state.batch_stats
         if use_ema and self.cfg.run.ema_bn_recal_steps > 0:
-            if not hasattr(self, "_recal_iter"):
-                self._recal_iter = pipeline.make_train_iter(
-                    self.cfg.data, seed=self.cfg.run.seed + 1
-                )
-            for _ in range(self.cfg.run.ema_bn_recal_steps):
-                b = next(self._recal_iter)
-                img = meshlib.shard_batch(self.mesh, {"image": b["image"]})["image"]
-                stats = self._recal_step(params, stats, self.state.masks, img)
+            # the recal batch stream is keyed to (config seed, CURRENT step),
+            # not to a session-lifetime iterator: a resumed run's eval at
+            # step S must consume the same recal batches as an uninterrupted
+            # run's eval at step S (SURVEY.md sec 5 checkpoint row — resume
+            # reproduces the uninterrupted run, eval metrics included)
+            step = int(jax.device_get(self.state.step))
+            recal_seed = (self.cfg.run.seed + 1 + step * 1_000_003) % (2**31 - 1)
+            recal_iter = pipeline.make_train_iter(self.cfg.data, seed=recal_seed)
+            try:
+                for _ in range(self.cfg.run.ema_bn_recal_steps):
+                    b = next(recal_iter)
+                    img = meshlib.shard_batch(
+                        self.mesh, {"image": b["image"]}
+                    )["image"]
+                    stats = self._recal_step(params, stats, self.state.masks, img)
+            finally:
+                close = getattr(recal_iter, "close", None)
+                if close is not None:
+                    close()  # native C++ loaders hold worker threads
         totals = {"correct1": 0.0, "correct5": 0.0, "count": 0.0, "sum_ce": 0.0}
         for batch in eval_iter_fn():
             batch = meshlib.shard_batch(self.mesh, batch)

@@ -222,9 +222,11 @@ def test_tfrecord_driver_end_to_end(tmp_path):
 
 def test_resume_matches_uninterrupted_bitwise(tmp_path):
     """Interrupt-at-step-4 + resume == one uninterrupted run: the data
-    iterator fast-forwards (start_step) and the step rng folds in the step,
-    so final params must match EXACTLY (SURVEY.md sec 7 ckpt row:
-    data-iterator state)."""
+    iterator fast-forwards (start_step), the step rng folds in the step,
+    and the EMA BN-recal batch stream is keyed to (seed, step) — so final
+    params AND eval metrics must match EXACTLY (SURVEY.md sec 7 ckpt row:
+    data-iterator state; sec 5 checkpoint row: resume reproduces the
+    uninterrupted run)."""
     import jax
 
     from atomnas_tpu.train.loop import Experiment
@@ -232,18 +234,19 @@ def test_resume_matches_uninterrupted_bitwise(tmp_path):
     import os
     import signal
 
-    cfg_a = make_cfg(
-        tmp_path / "a", **{"search.enabled": False, "run.num_train_steps": 8}
-    )
+    # ema_bn_recal_steps > 0 exercises the recal path that shipped configs
+    # (configs/base.yml: 50) hit on every eval — a session-lifetime recal
+    # iterator would make the resumed run's evals diverge.
+    over = {"search.enabled": False, "run.num_train_steps": 8,
+            "run.ema_bn_recal_steps": 4}
+    cfg_a = make_cfg(tmp_path / "a", **over)
     exp_a = Experiment(cfg_a)
-    exp_a.train()
+    summary_a = exp_a.train()
 
     # interrupt run B deterministically during its 4th step: the SIGTERM
     # flag is checked at the top of each iteration, so it checkpoints at
     # step 4 and exits (same config -> same LR schedule as run A)
-    cfg_b = make_cfg(
-        tmp_path / "b", **{"search.enabled": False, "run.num_train_steps": 8}
-    )
+    cfg_b = make_cfg(tmp_path / "b", **over)
     exp_b1 = Experiment(cfg_b)
     orig_step = exp_b1._train_step
     calls = {"n": 0}
@@ -258,11 +261,8 @@ def test_resume_matches_uninterrupted_bitwise(tmp_path):
     out = exp_b1.train()
     assert out["interrupted_at"] == 4
 
-    exp_b = Experiment(
-        make_cfg(tmp_path / "b",
-                 **{"search.enabled": False, "run.num_train_steps": 8})
-    )
-    exp_b.train()
+    exp_b = Experiment(make_cfg(tmp_path / "b", **over))
+    summary_b = exp_b.train()
 
     pa = jax.device_get(exp_a.state.params)
     pb = jax.device_get(exp_b.state.params)
@@ -270,6 +270,49 @@ def test_resume_matches_uninterrupted_bitwise(tmp_path):
     ea = jax.device_get(exp_a.state.ema_params)
     eb = jax.device_get(exp_b.state.ema_params)
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b), ea, eb)
+    # eval metrics too: the final eval's BN-recal stream must be identical
+    for k in ("final_top1", "final_top5", "final_eval_ce"):
+        assert summary_a[k] == summary_b[k], (k, summary_a[k], summary_b[k])
+
+
+def test_train_examples_crosscheck(tmp_path):
+    """A stale data.train_examples is detected against the real dataset size
+    and adopted loudly (reference: epoch length comes from len(dataset) —
+    SURVEY.md sec 3.1); a matching config stays silent."""
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+    try:
+        from scripts.make_fake_imagefolder import make_split
+    finally:
+        sys.path.pop(0)
+    from atomnas_tpu.train.loop import Experiment
+
+    root = tmp_path / "data"
+    make_split(root, "train", classes=5, per_class=4, size=16, seed=0)
+    make_split(root, "val", classes=5, per_class=2, size=16, seed=1)
+
+    base = {
+        "search.enabled": False, "model.num_classes": 5,
+        "data.dataset": "imagefolder", "data.root": str(root),
+        "data.num_classes": 5, "data.train_examples": 500,
+        "data.eval_examples": 10, "data.use_native_decoder": False,
+    }
+
+    # mismatched: 500 configured vs 20 on disk -> warn + adopt
+    exp = Experiment(make_cfg(tmp_path / "mis", **base))
+    assert exp.cfg.data.train_examples == 20
+    assert exp.steps_per_epoch == 1  # 20 images // batch 16
+    log = (pathlib.Path(exp.cfg.run.log_dir) / "train.log").read_text()
+    assert "adopting 20" in log
+
+    # matched: silent, config value kept
+    exp2 = Experiment(make_cfg(tmp_path / "ok", **{
+        **base, "data.train_examples": 20,
+    }))
+    assert exp2.cfg.data.train_examples == 20
+    log2 = (pathlib.Path(exp2.cfg.run.log_dir) / "train.log").read_text()
+    assert "adopting" not in log2
 
 
 def test_ema_bn_recalibration(tmp_path):

@@ -115,11 +115,18 @@ def test_tfrecord_eval_coverage_and_padding(tfr_root):
 
 @pytest.mark.slow
 def test_tfrecord_eval_multiprocess_equalized(tfr_root, monkeypatch):
-    """Every process emits the SAME batch count (deadlock guard), via the
-    counts.json fast path."""
+    """FILE-level eval sharding: every process emits the SAME batch count
+    (deadlock guard) while reading ONLY its own shard files — per-process
+    records served must equal its file shard's record count exactly
+    (proportional IO, not every-host-reads-everything)."""
     import jax
 
+    from atomnas_tpu.data import tfrecord
+
     cfg = _cfg(tfr_root, eval_batch_size=4)
+    val_files = tfrecord._shards(str(tfr_root), "val")
+    file_counts = tfrecord._file_counts(cfg, val_files)
+    assert file_counts is not None and len(val_files) == 2
     counts, valids = {}, {}
     for pi in range(2):
         monkeypatch.setattr(jax, "process_count", lambda: 2)
@@ -129,8 +136,47 @@ def test_tfrecord_eval_multiprocess_equalized(tfr_root, monkeypatch):
         valids[pi] = sum(float(b["valid"].sum()) for b in batches)
         for b in batches:
             assert b["image"].shape == (2, 16, 16, 3)
-    # record shards are 5 and 4; both emit ceil(ceil(9/2)/2) = 3 batches
-    assert counts[0] == counts[1] == 3
+    # both emit the equalized max batch count
+    import math
+    import pathlib
+
+    expected_batches = max(
+        math.ceil(file_counts[pathlib.Path(f).name] / 2) for f in val_files
+    )
+    assert counts[0] == counts[1] == expected_batches
+    assert valids[0] + valids[1] == 9
+    # proportionality: process p served exactly its own files' records
+    for pi in range(2):
+        mine = sum(
+            file_counts[pathlib.Path(val_files[i]).name]
+            for i in range(pi, len(val_files), 2)
+        )
+        assert valids[pi] == mine
+
+
+@pytest.mark.slow
+def test_tfrecord_eval_record_fallback_no_counts(tfr_root, monkeypatch,
+                                                 tmp_path):
+    """Without counts.json the eval path falls back to record-level
+    sharding: same coverage and equalized batch counts, via a counting
+    pass."""
+    import shutil
+
+    import jax
+
+    root = tmp_path / "tfr_nocounts"
+    shutil.copytree(tfr_root, root)
+    (root / "counts.json").unlink()
+    cfg = _cfg(root, eval_batch_size=4)
+    counts, valids = {}, {}
+    for pi in range(2):
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        monkeypatch.setattr(jax, "process_index", lambda pi=pi: pi)
+        batches = list(pipeline.make_eval_iter(cfg)())
+        counts[pi] = len(batches)
+        valids[pi] = sum(float(b["valid"].sum()) for b in batches)
+    # record-level round-robin: 9 records -> shards of 5 and 4
+    assert counts[0] == counts[1] == 3  # ceil(ceil(9/2)/2)
     assert valids[0] + valids[1] == 9
 
 
