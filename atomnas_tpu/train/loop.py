@@ -141,6 +141,7 @@ class Experiment:
                 self.arch, cfg.optim, cfg.search, cfg.data,
                 self.tx, self.schedule, pw, cfg.model.input_size,
                 use_pallas=cfg.run.use_pallas,
+                data_shards=int(self.mesh.shape.get("data", 1)),
             ),
             donate_argnums=0,
         )

@@ -49,20 +49,33 @@ def prep_images(images: jax.Array, dcfg: Optional[DataConfig]) -> jax.Array:
 
 
 def mixup(
-    rng: jax.Array, images: jax.Array, targets: jax.Array, alpha: float
+    rng: jax.Array, images: jax.Array, targets: jax.Array, alpha: float,
+    groups: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Batch-reversal mixup with a single Beta(alpha, alpha) lambda.
+    """Reversal-pairing mixup with a single Beta(alpha, alpha) lambda.
 
-    Pairing each example with its batch-reversed partner keeps the op local
-    and layout-friendly under GSPMD (a reverse is a cheap permute), unlike a
-    random gather.
+    ``groups`` = the data-axis mesh size: pairing reverses WITHIN each of
+    the ``groups`` contiguous batch segments, which line up with the GSPMD
+    batch shards, so the pairing permute is shard-LOCAL — zero cross-chip
+    traffic. A plain whole-batch ``jnp.flip`` compiles to a collective-
+    permute of the entire image batch (batch-proportional ICI bytes,
+    measured in scripts/scaling_projection.py); any derangement is an
+    equally valid mixup pairing, so the shard-local one is strictly better.
     """
     lam = jax.random.beta(rng, alpha, alpha, dtype=jnp.float32)
     lam = jnp.maximum(lam, 1.0 - lam)  # keep the primary label dominant
-    mixed = lam * images.astype(jnp.float32) + (1.0 - lam) * jnp.flip(
-        images.astype(jnp.float32), axis=0
+
+    def rev(x: jax.Array) -> jax.Array:
+        n = x.shape[0]
+        if groups > 1 and n % groups == 0:
+            g = x.reshape((groups, n // groups) + x.shape[1:])
+            return jnp.flip(g, axis=1).reshape(x.shape)
+        return jnp.flip(x, axis=0)
+
+    mixed = lam * images.astype(jnp.float32) + (1.0 - lam) * rev(
+        images.astype(jnp.float32)
     )
-    t = lam * targets + (1.0 - lam) * jnp.flip(targets, axis=0)
+    t = lam * targets + (1.0 - lam) * rev(targets)
     return mixed.astype(images.dtype), t
 
 
@@ -76,8 +89,13 @@ def make_train_step(
     pen_weights: Dict[str, jnp.ndarray],
     input_size: int,
     use_pallas: bool = False,
+    data_shards: int = 1,
 ) -> Callable:
-    """Build the pure train-step fn for a given (static) arch."""
+    """Build the pure train-step fn for a given (static) arch.
+
+    ``data_shards`` = the mesh's data-axis size; mixup pairs within shards
+    so its permute stays chip-local (see ``mixup``).
+    """
     atom_costs = {k: jnp.asarray(v) for k, v in F.atom_flops(arch, input_size).items()}
     const_fl = F.constant_flops(arch, input_size)
     pen_w = {k: jnp.asarray(v) for k, v in pen_weights.items()}
@@ -105,7 +123,8 @@ def make_train_step(
         labels = batch["label"]
         targets = losses.smooth_labels(labels, arch.num_classes, ocfg.label_smoothing)
         if dcfg.mixup_alpha > 0:
-            images, targets = mixup(mix_rng, images, targets, dcfg.mixup_alpha)
+            images, targets = mixup(mix_rng, images, targets,
+                                    dcfg.mixup_alpha, groups=data_shards)
 
         def loss_fn(params, batch_stats, images, targets):
             logits, new_stats = forward(

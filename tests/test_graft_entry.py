@@ -16,6 +16,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_dryrun_in_process_fast_path(capsys):
     """With the conftest 8-device CPU mesh visible, no subprocess is spawned."""
     sys.path.insert(0, REPO)

@@ -66,6 +66,7 @@ def test_fixed_supernet_smoke(tmp_path):
     assert (run / "checkpoints" / "step_00000008" / "meta.json").exists()
 
 
+@pytest.mark.slow
 def test_search_smoke_with_reslice_and_resume(tmp_path):
     over = {
         "search.enabled": True,
@@ -110,6 +111,7 @@ def test_test_only_eval(tmp_path):
     assert "top1" in metrics and metrics["eval_examples"] == 24
 
 
+@pytest.mark.slow
 def test_sigterm_checkpoints_and_exits(tmp_path):
     """Preemption handling: SIGTERM mid-training saves a checkpoint and
     returns instead of dying (resume then continues)."""
@@ -220,6 +222,7 @@ def test_tfrecord_driver_end_to_end(tmp_path):
     assert summary["final_eval_examples"] == 25  # padded eval counted right
 
 
+@pytest.mark.slow
 def test_resume_matches_uninterrupted_bitwise(tmp_path):
     """Interrupt-at-step-4 + resume == one uninterrupted run: the data
     iterator fast-forwards (start_step), the step rng folds in the step,
@@ -315,6 +318,7 @@ def test_train_examples_crosscheck(tmp_path):
     assert "adopting" not in log2
 
 
+@pytest.mark.slow
 def test_ema_bn_recalibration(tmp_path):
     """EMA eval with stale running stats vs recalibrated stats.
 

@@ -48,6 +48,7 @@ def test_pallas_block_path_equivalence(se, act, training):
             )
 
 
+@pytest.mark.slow
 def test_pallas_block_path_grad_equivalence():
     cfg = ModelConfig(
         num_classes=10, input_size=16, stem_channels=8, head_channels=32,

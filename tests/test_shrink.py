@@ -164,6 +164,7 @@ def test_reslice_drops_empty_branch():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_training_continues_after_reslice_with_momentum():
     """Optimizer momentum must be re-sliced alongside params: train a few
     steps, shrink, re-slice everything, keep training — loss stays finite

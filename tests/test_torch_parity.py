@@ -251,6 +251,7 @@ def test_torch_parity_train_and_eval(model_kw):
         )
 
 
+@pytest.mark.slow
 def test_torch_gradient_parity():
     """Backward parity: d(CE loss)/d(input) and key param grads must match
     torch autograd through the per-branch reference model — this covers the

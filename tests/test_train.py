@@ -189,6 +189,56 @@ def test_mixup():
     np.testing.assert_allclose(t[1, 1], lam, rtol=1e-5)
 
 
+def test_mixup_shard_local_grouping():
+    """groups=g reverses within each contiguous segment of n/g examples —
+    the pairing every data shard can perform locally."""
+    n, g = 8, 4
+    imgs = jnp.arange(n, dtype=jnp.float32)[:, None, None, None] * jnp.ones(
+        (n, 2, 2, 3)
+    )
+    targets = jnp.eye(n)
+    mixed, t = mixup(jax.random.key(1), imgs, targets, alpha=0.2, groups=g)
+    lam = float(jnp.max(t[0]))
+    # example 0's partner is example 1 (its segment reversed), NOT n-1
+    np.testing.assert_allclose(
+        float(mixed[0].mean()), lam * 0.0 + (1 - lam) * 1.0, rtol=1e-5
+    )
+    np.testing.assert_allclose(float(t[0, 1]), 1 - lam, rtol=1e-5)
+    assert float(t[0, n - 1]) == 0.0
+    # mixing weights always sum to 1
+    np.testing.assert_allclose(np.asarray(t.sum(axis=1)), 1.0, rtol=1e-5)
+
+
+def test_mixup_step_has_no_cross_chip_permute():
+    """With shard-local pairing, the compiled train step on the 8-device
+    data mesh must contain NO collective-permute (a whole-batch jnp.flip
+    would permute the entire image batch across chips every step —
+    measured in scripts/scaling_projection.py)."""
+    arch, mcfg, state, _, tx = make_setup(mixup_alpha=0.2)
+    ocfg = OptimConfig(base_lr=0.1, base_batch=16, warmup_epochs=0.0,
+                       epochs=2, ema_decay=0.99)
+    scfg = SearchConfig(enabled=True, penalty=1e-3, prune_threshold=0.05)
+    dcfg = DataConfig(num_classes=10, image_size=16, batch_size=16,
+                      mixup_alpha=0.2)
+    schedule = lrlib.make_schedule(ocfg, 16, total_steps=20, steps_per_epoch=10)
+    pw, _ = penalty_weights(arch, mcfg.input_size)
+    mesh = meshlib.make_mesh(MeshConfig(data=8, model=1))
+    state = meshlib.place_state(mesh, state)
+    batch = make_batch(0)
+    batch = {k: meshlib.host_put(np.asarray(v), meshlib.batch_sharding(mesh))
+             for k, v in batch.items()}
+    rng = meshlib.host_put(jax.random.key(0), meshlib.replicated(mesh))
+    step = jax.jit(
+        make_train_step(arch, ocfg, scfg, dcfg, tx, schedule, pw,
+                        mcfg.input_size, data_shards=8),
+        donate_argnums=0,
+    )
+    text = step.lower(state, batch, rng).compile().as_text()
+    assert "collective-permute" not in text
+    # the gradient/sync-BN all-reduces are still there
+    assert "all-reduce" in text
+
+
 def test_eval_step_counts_with_padding():
     arch, mcfg, state, _, _ = make_setup(search=False)
     ev = jax.jit(make_eval_step(arch))
