@@ -95,18 +95,71 @@ def run_one(config_path: str, out_dir: pathlib.Path, extra: list) -> dict:
     }
     print(f"[trajectory] {cfg.name}: {start:.1f} -> {end:.1f} MF "
           f"(budget {budget:.0f}, {row['end_over_budget']:+.1%} of budget)")
+    (log_dir / "row.json").write_text(json.dumps(row, indent=2))
     return row
+
+
+def _supervised(config_path: str, out: pathlib.Path, overrides: list,
+                attempts: int = 3, stall_s: float = 300.0) -> dict:
+    """Run one config in a child with a stall watchdog + retry: the TPU
+    tunnel in this container intermittently hangs on the first big
+    compile/transfer (blocked on network, ~0 CPU output) — same pattern as
+    bench.py's supervisor."""
+    import os
+    import shutil
+    import subprocess
+    import sys
+    import time
+
+    name = pathlib.Path(config_path).stem
+    for attempt in range(1, attempts + 1):
+        shutil.rmtree(out / name, ignore_errors=True)  # fresh trajectory
+        child = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--single",
+             config_path, "--out", str(out)] + overrides,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            env=dict(os.environ),
+        )
+        os.set_blocking(child.stdout.fileno(), False)
+        last = time.monotonic()
+        while True:
+            rc = child.poll()
+            chunk = child.stdout.read()
+            if chunk:
+                sys.stdout.buffer.write(chunk)
+                sys.stdout.flush()
+                last = time.monotonic()
+            if rc is not None:
+                break
+            if time.monotonic() - last > stall_s:
+                print(f"[trajectory] {name} attempt {attempt} stalled "
+                      f">{stall_s:.0f}s (tunnel hang); killing and retrying")
+                child.kill()
+                child.wait()
+                rc = None
+                break
+            time.sleep(1.0)
+        if rc == 0:
+            return json.loads((out / name / "row.json").read_text())
+        if rc is not None:
+            print(f"[trajectory] {name} attempt {attempt} exited rc={rc}")
+    raise RuntimeError(f"{config_path}: all {attempts} attempts failed")
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--out", default="artifacts/budget_trajectory_r3")
     p.add_argument("--configs", nargs="*", default=list(CONFIGS))
+    p.add_argument("--single", default="",
+                   help="internal: run ONE config in-process (child mode)")
     p.add_argument("overrides", nargs="*", default=[])
     args = p.parse_args(argv)
     out = pathlib.Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
-    rows = [run_one(c, out, args.overrides) for c in args.configs]
+    if args.single:
+        run_one(args.single, out, args.overrides)
+        return None
+    rows = [_supervised(c, out, args.overrides) for c in args.configs]
     (out / "trajectory.json").write_text(json.dumps(rows, indent=2))
     print(f"wrote {out}/trajectory.json")
     return rows

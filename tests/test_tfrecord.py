@@ -181,6 +181,23 @@ def test_tfrecord_eval_record_fallback_no_counts(tfr_root, monkeypatch,
 
 
 @pytest.mark.slow
+def test_actual_train_examples_tfrecord(tfr_root, tmp_path):
+    """Dataset-size cross-check source (train/loop.py): counts.json-backed
+    for tfrecord; None without the sidecar (no silent counting pass over
+    the train bytes); None for synthetic (train_examples defines it)."""
+    import shutil
+
+    assert pipeline.actual_train_examples(_cfg(tfr_root)) == 24
+    root = tmp_path / "nocounts"
+    shutil.copytree(tfr_root, root)
+    (root / "counts.json").unlink()
+    assert pipeline.actual_train_examples(_cfg(root)) is None
+    from atomnas_tpu.config import DataConfig
+
+    assert pipeline.actual_train_examples(DataConfig(dataset="synthetic")) is None
+
+
+@pytest.mark.slow
 def test_tfrecord_label_offset(tfr_root):
     cfg = _cfg(tfr_root, tfrecord_label_offset=-1)  # shift labels up by 1
     it = pipeline.make_train_iter(cfg, seed=0)
