@@ -35,7 +35,11 @@ def main(argv=None):
         cfg = parse_argv_overrides(cfg, args.overrides)
     cfg = dataclasses.replace(
         cfg,
-        run=dataclasses.replace(cfg.run, test_only=True, pretrained=args.checkpoint),
+        # resume=False: --checkpoint must win even when the config's
+        # log_dir holds its own checkpoints (resume-from-own otherwise
+        # takes precedence over pretrained — train/loop.py _init_model)
+        run=dataclasses.replace(cfg.run, test_only=True,
+                                pretrained=args.checkpoint, resume=False),
     )
     apply_platform(cfg.run)
     from atomnas_tpu.ops import flops as F

@@ -95,10 +95,15 @@ class Experiment:
         from atomnas_tpu.models.arch import supernet_arch
 
         restore_from = None
-        if cfg.run.pretrained:
-            restore_from = pathlib.Path(cfg.run.pretrained)
-        elif cfg.run.resume and ckptlib.latest_step(self.ckpt_dir) is not None:
+        # resume-from-own-checkpoints takes precedence over pretrained:
+        # `pretrained` is the INIT of a fresh run (test_only / finetune /
+        # ablation legs); an interrupted run relaunched with the same
+        # log_dir must continue where it left off, not restart from the
+        # init (reference resumes from its latest checkpoint the same way)
+        if cfg.run.resume and ckptlib.latest_step(self.ckpt_dir) is not None:
             restore_from = self.ckpt_dir
+        elif cfg.run.pretrained:
+            restore_from = pathlib.Path(cfg.run.pretrained)
 
         if restore_from is not None:
             state, arch, meta = ckptlib.restore_checkpoint(restore_from, self.tx)

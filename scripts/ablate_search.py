@@ -162,8 +162,16 @@ def _random_mask_checkpoint(cfg: ExperimentConfig, target_flops: float,
 
 
 def _run(cfg: ExperimentConfig, log_dir: pathlib.Path) -> Dict[str, float]:
+    """One driver run; idempotent — a completed leg (summary.json on disk)
+    is returned as-is, so a supervisor (scripts/supervise.py) can kill and
+    relaunch the whole ablation across tunnel hangs without redoing
+    finished legs (and in-progress legs auto-resume from checkpoints)."""
     from atomnas_tpu.train.loop import train_and_eval
 
+    done = log_dir / "summary.json"
+    if done.exists():
+        print(f"[ablate] {log_dir.name}: already complete, skipping")
+        return json.loads(done.read_text())
     cfg = dataclasses.replace(
         cfg, run=dataclasses.replace(cfg.run, log_dir=str(log_dir))
     )

@@ -152,6 +152,8 @@ def main(argv=None):
     p.add_argument("--configs", nargs="*", default=list(CONFIGS))
     p.add_argument("--single", default="",
                    help="internal: run ONE config in-process (child mode)")
+    p.add_argument("--attempts", type=int, default=3,
+                   help="watchdog retries per config (tunnel-hang windows)")
     p.add_argument("overrides", nargs="*", default=[])
     args = p.parse_args(argv)
     out = pathlib.Path(args.out)
@@ -159,7 +161,8 @@ def main(argv=None):
     if args.single:
         run_one(args.single, out, args.overrides)
         return None
-    rows = [_supervised(c, out, args.overrides) for c in args.configs]
+    rows = [_supervised(c, out, args.overrides, attempts=args.attempts)
+            for c in args.configs]
     (out / "trajectory.json").write_text(json.dumps(rows, indent=2))
     print(f"wrote {out}/trajectory.json")
     return rows

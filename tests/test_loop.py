@@ -278,6 +278,39 @@ def test_resume_matches_uninterrupted_bitwise(tmp_path):
         assert summary_a[k] == summary_b[k], (k, summary_a[k], summary_b[k])
 
 
+def test_resume_takes_precedence_over_pretrained(tmp_path):
+    """An interrupted run relaunched with log_dir + pretrained must resume
+    its OWN checkpoints, not restart from the pretrained init (ablation
+    legs under the stall supervisor depend on this; test_only/eval paths
+    set resume=False to keep --checkpoint authoritative)."""
+    from atomnas_tpu.train.loop import Experiment
+
+    cfg_init = make_cfg(
+        tmp_path / "init", **{"search.enabled": False, "run.num_train_steps": 4}
+    )
+    train_and_eval(cfg_init)
+    init_ckpts = str(pathlib.Path(cfg_init.run.log_dir) / "checkpoints")
+
+    # fresh run B from the pretrained init: starts at the init's step (4)
+    cfg_b = make_cfg(
+        tmp_path / "b",
+        **{"search.enabled": False, "run.num_train_steps": 6,
+           "run.pretrained": init_ckpts},
+    )
+    exp_b = Experiment(cfg_b)
+    assert int(exp_b.state.step) == 4  # pretrained used on first launch
+    exp_b.train()  # runs to 6, checkpoints in its own dir
+
+    # relaunch with BOTH own checkpoints and pretrained: own must win
+    cfg_b2 = make_cfg(
+        tmp_path / "b",
+        **{"search.enabled": False, "run.num_train_steps": 8,
+           "run.pretrained": init_ckpts},
+    )
+    exp_b2 = Experiment(cfg_b2)
+    assert int(exp_b2.state.step) == 6  # resumed own, not pretrained's 4
+
+
 def test_train_examples_crosscheck(tmp_path):
     """A stale data.train_examples is detected against the real dataset size
     and adopted loudly (reference: epoch length comes from len(dataset) —
