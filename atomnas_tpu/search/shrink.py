@@ -45,6 +45,7 @@ def update_masks(
     masks: Dict[str, jax.Array],
     arch: ModelArch,
     cfg: SearchConfig,
+    input_size: int | None = None,
 ) -> Dict[str, jax.Array]:
     """One shrink event: kill atoms whose |gamma| fell below the threshold.
 
@@ -52,6 +53,14 @@ def update_masks(
     ``cfg.min_atoms_nonresidual`` of their (still-alive) highest-|gamma|
     atoms so the network never disconnects; residual blocks may die entirely
     (they become exact identities).
+
+    With ``cfg.flops_budget > 0`` and ``input_size`` given, a **budget
+    floor** applies: if this event would take live FLOPs below the budget,
+    the dying atoms with the LARGEST |gamma| are spared until live FLOPs
+    stay >= budget — so the search lands ON the budget instead of
+    overshooting past it by up to one event's worth of deaths (the
+    reference kills everything below threshold and lands wherever its
+    fixed rho takes it). Deterministic given gammas => replica-consistent.
     """
     new_masks = dict(masks)
     for i, b in enumerate(arch.blocks):
@@ -70,7 +79,51 @@ def update_masks(
             forced = jnp.zeros_like(old).at[top_idx].set(1.0) * old
             alive = jnp.where(jnp.sum(alive) >= keep, alive, jnp.maximum(alive, forced))
         new_masks[key] = alive
+    if cfg.flops_budget > 0 and input_size is not None:
+        new_masks = _budget_floor(
+            params, masks, new_masks, arch, cfg, input_size
+        )
     return new_masks
+
+
+def _budget_floor(
+    params: Params,
+    old_masks: Dict[str, jax.Array],
+    new_masks: Dict[str, jax.Array],
+    arch: ModelArch,
+    cfg: SearchConfig,
+    input_size: int,
+) -> Dict[str, jax.Array]:
+    """Spare the highest-|gamma| atoms dying THIS event until live FLOPs
+    stay >= cfg.flops_budget. Runs host-side (shrink events are outside
+    jit); only atoms alive before the event are candidates, so monotonicity
+    is preserved."""
+    from atomnas_tpu.ops import flops as F
+
+    costs = F.atom_flops(arch, input_size)
+    old = {k: np.asarray(v) for k, v in jax.device_get(old_masks).items()}
+    new = {k: np.asarray(v).copy() for k, v in jax.device_get(new_masks).items()}
+    live = F.model_flops(arch, input_size, new)
+    if live >= cfg.flops_budget:
+        return new_masks
+    dying = []  # (|gamma|, cost, key, idx) for atoms killed this event
+    for i, b in enumerate(arch.blocks):
+        if not b.searchable:
+            continue
+        key = f"block_{i}"
+        gamma = np.abs(
+            np.asarray(jax.device_get(params["blocks"][i]["bn2"]["scale"]),
+                       np.float32)
+        )
+        for j in np.nonzero((old[key] > 0.5) & (new[key] < 0.5))[0]:
+            dying.append((float(gamma[j]), float(costs[key][j]), key, int(j)))
+    dying.sort(reverse=True)  # largest |gamma| first: closest to surviving
+    for g, c, key, j in dying:
+        if live >= cfg.flops_budget:
+            break
+        new[key][j] = 1.0
+        live += c
+    return {k: jnp.asarray(v) for k, v in new.items()}
 
 
 # ---------------------------------------------------------------------------

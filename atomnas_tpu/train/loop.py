@@ -171,7 +171,8 @@ class Experiment:
     def _shrink_event(self, step: int) -> None:
         cfg = self.cfg
         new_masks = shrinklib.update_masks(
-            self.state.params, self.state.masks, self.arch, cfg.search
+            self.state.params, self.state.masks, self.arch, cfg.search,
+            input_size=cfg.model.input_size,
         )
         self.state = self.state.replace(
             masks=new_masks, shrink_events=self.state.shrink_events + 1

@@ -100,6 +100,52 @@ def test_update_masks_min_atoms_floor():
             assert np.asarray(m[f"block_{i}"])[-2:].sum() == 2.0
 
 
+def test_update_masks_budget_floor():
+    """With flops_budget set, an event that would undershoot the budget
+    spares the highest-|gamma| dying atoms: live FLOPs land in
+    [budget, budget + one atom), instead of overshooting arbitrarily."""
+    mcfg, arch, params, stats, masks = build()
+    params = scatter_gammas(params)
+    size = mcfg.input_size
+    supernet_fl = F.model_flops(arch, size)
+    # a threshold that would kill most atoms without the floor
+    cfg_nofloor = SearchConfig(prune_threshold=0.15, min_atoms_nonresidual=1)
+    m_nofloor = shrink.update_masks(params, masks, arch, cfg_nofloor)
+    fl_nofloor = F.model_flops(arch, size, jax.device_get(m_nofloor))
+    budget = (fl_nofloor + supernet_fl) / 2  # between the two extremes
+    cfg = SearchConfig(prune_threshold=0.15, min_atoms_nonresidual=1,
+                       flops_budget=budget)
+    m = shrink.update_masks(params, masks, arch, cfg, input_size=size)
+    fl = F.model_flops(arch, size, jax.device_get(m))
+    max_atom = max(
+        float(np.max(c)) for c in F.atom_flops(arch, size).values() if c.size
+    )
+    assert budget <= fl < budget + max_atom, (fl, budget, max_atom)
+    # the spared atoms are the highest-|gamma| of the would-be dying set
+    spared, killed_g = [], []
+    for i, b in enumerate(arch.blocks):
+        if not b.searchable:
+            continue
+        key = f"block_{i}"
+        g = np.abs(np.asarray(params["blocks"][i]["bn2"]["scale"]))
+        died_nf = np.asarray(m_nofloor[key]) < 0.5
+        alive_f = np.asarray(m[key]) > 0.5
+        spared.extend(g[died_nf & alive_f].tolist())
+        killed_g.extend(g[died_nf & ~alive_f].tolist())
+    assert spared  # the floor actually revived something
+    # every spared gamma >= every killed gamma (global greedy order),
+    # modulo atoms force-kept by the min-atoms floor (none here: threshold
+    # leaves >=1 alive per non-residual block in this fixture)
+    assert min(spared) >= max(killed_g) - 1e-12
+    # above budget: floor inert, masks identical to the plain update
+    cfg_hi = SearchConfig(prune_threshold=0.15, min_atoms_nonresidual=1,
+                          flops_budget=fl_nofloor / 2)
+    m_hi = shrink.update_masks(params, masks, arch, cfg_hi, input_size=size)
+    for k in m_nofloor:
+        np.testing.assert_array_equal(np.asarray(m_hi[k]),
+                                      np.asarray(m_nofloor[k]))
+
+
 @pytest.mark.parametrize("se", [0.0, 0.25], ids=["plain", "se"])
 def test_reslice_logits_equivalence(se):
     """THE crux: masked supernet and re-sliced compact net must produce
