@@ -103,9 +103,10 @@ def _affine_sample(img: "np.ndarray", rng: np.random.RandomState, size: int,
 
 def make_split_hard(root: pathlib.Path, split: str, classes: int,
                     per_class: int, size: int, seed: int, *,
-                    sim: float = 0.6, noise: float = 25.0,
-                    rot_deg: float = 25.0, scale_lo: float = 0.75,
-                    scale_hi: float = 1.35, quality: int = 65,
+                    sim: float = 0.45, noise: float = 15.0,
+                    rot_deg: float = 15.0, scale_lo: float = 0.85,
+                    scale_hi: float = 1.25, quality: int = 75,
+                    distractor: float = 0.2,
                     classes_per_anchor: int = 5) -> None:
     from PIL import Image
 
@@ -129,7 +130,7 @@ def make_split_hard(root: pathlib.Path, split: str, classes: int,
             mean = img.mean()
             img = (img - mean) * rng.uniform(0.75, 1.25) + mean  # contrast
             # low-frequency structured distractor + white noise
-            img = img + 0.35 * (class_pattern(rng, size) - 128.0)
+            img = img + distractor * (class_pattern(rng, size) - 128.0)
             img = img + rng.randn(size, size, 3) * noise
             arr = np.clip(img, 0, 255).astype(np.uint8)
             Image.fromarray(arr).save(d / f"img_{i:05d}.jpg", quality=quality)
@@ -145,12 +146,12 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--hard", action="store_true",
                    help="non-saturating benchmark task (see make_split_hard)")
-    p.add_argument("--sim", type=float, default=0.6,
+    p.add_argument("--sim", type=float, default=0.45,
                    help="hard mode: anchor weight (higher = more inter-class "
                         "similarity = harder)")
-    p.add_argument("--noise", type=float, default=25.0,
+    p.add_argument("--noise", type=float, default=15.0,
                    help="hard mode: white-noise sigma in [0,255] units")
-    p.add_argument("--quality", type=int, default=65,
+    p.add_argument("--quality", type=int, default=75,
                    help="hard mode: JPEG quality")
     args = p.parse_args(argv)
     root = pathlib.Path(args.root)
