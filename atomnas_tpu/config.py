@@ -153,10 +153,23 @@ class SearchConfig:
     min_atoms_nonresidual: int = 1
     flops_budget: float = 0.0  # target budget; drives adaptive scheduling
     # "fixed": constant rho (paper's per-config constant).
-    # "adaptive": rho_eff = rho * clip((live - budget)/budget, 0, 2) —
-    # pressure proportional to distance above budget, zero once reached
-    # (BASELINE.json config[2]: resource-aware penalty scheduling).
+    # "adaptive": rho_eff = rho * clip((live - target)/target, 0, 2) —
+    # pressure proportional to distance above the CURRENT target, zero once
+    # reached (BASELINE.json config[2]: resource-aware penalty scheduling).
     penalty_schedule: str = "fixed"
+    # Budget ramp (adaptive schedule only): the FLOPs target descends
+    # linearly from the init supernet's FLOPs to ``flops_budget`` between
+    # epoch ``budget_warmup_epochs`` and ``budget_warmup_epochs +
+    # budget_ramp_epochs``, and the shrink-event budget floor tracks the
+    # moving target. ramp=0 keeps the constant-target behavior. Rationale:
+    # with a constant target the controller crushes the supernet to budget
+    # within ~2 epochs, so atom life/death is decided by near-init gammas
+    # (measured round 3: such a "searched" net LOST to uniform scaling,
+    # 0.894 vs 0.991 at 40 MF); the reference's constant-rho protocol
+    # shrinks gradually across the whole run (SURVEY.md sec 6), which the
+    # ramp reproduces with a controlled arrival time.
+    budget_warmup_epochs: float = 0.0
+    budget_ramp_epochs: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

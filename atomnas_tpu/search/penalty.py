@@ -69,6 +69,31 @@ def penalty_weights(
     return weights, normalizer
 
 
+def budget_target(
+    scfg,
+    supernet_flops: float,
+    step,
+    steps_per_epoch: int,
+):
+    """Current FLOPs target of the adaptive controller at ``step``.
+
+    Linear descent from ``supernet_flops`` to ``scfg.flops_budget`` across
+    ``[budget_warmup_epochs, budget_warmup_epochs + budget_ramp_epochs]``;
+    constant at ``flops_budget`` when the ramp is disabled (ramp <= 0).
+    Pure arithmetic — works on a traced ``state.step`` inside jit and on a
+    host int at shrink events, and both agree exactly.
+    """
+    if scfg.budget_ramp_epochs <= 0:
+        return float(scfg.flops_budget)
+    w = scfg.budget_warmup_epochs * steps_per_epoch
+    r = scfg.budget_ramp_epochs * steps_per_epoch
+    if isinstance(step, (int, float)):
+        frac = min(max((float(step) - w) / r, 0.0), 1.0)
+        return supernet_flops + frac * (scfg.flops_budget - supernet_flops)
+    frac = jnp.clip((step.astype(jnp.float32) - w) / r, 0.0, 1.0)
+    return supernet_flops + frac * (scfg.flops_budget - supernet_flops)
+
+
 def penalty_term(
     params: Params,
     masks: Dict[str, jax.Array],

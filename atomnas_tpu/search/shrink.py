@@ -46,6 +46,7 @@ def update_masks(
     arch: ModelArch,
     cfg: SearchConfig,
     input_size: int | None = None,
+    budget_floor: float | None = None,
 ) -> Dict[str, jax.Array]:
     """One shrink event: kill atoms whose |gamma| fell below the threshold.
 
@@ -61,6 +62,10 @@ def update_masks(
     overshooting past it by up to one event's worth of deaths (the
     reference kills everything below threshold and lands wherever its
     fixed rho takes it). Deterministic given gammas => replica-consistent.
+
+    ``budget_floor`` overrides the floor value (the adaptive controller's
+    budget ramp passes its CURRENT target, so the descent tracks the
+    schedule); default is ``cfg.flops_budget``.
     """
     new_masks = dict(masks)
     for i, b in enumerate(arch.blocks):
@@ -79,9 +84,10 @@ def update_masks(
             forced = jnp.zeros_like(old).at[top_idx].set(1.0) * old
             alive = jnp.where(jnp.sum(alive) >= keep, alive, jnp.maximum(alive, forced))
         new_masks[key] = alive
-    if cfg.flops_budget > 0 and input_size is not None:
+    floor = cfg.flops_budget if budget_floor is None else budget_floor
+    if floor > 0 and input_size is not None:
         new_masks = _budget_floor(
-            params, masks, new_masks, arch, cfg, input_size
+            params, masks, new_masks, arch, floor, input_size
         )
     return new_masks
 
@@ -91,12 +97,12 @@ def _budget_floor(
     old_masks: Dict[str, jax.Array],
     new_masks: Dict[str, jax.Array],
     arch: ModelArch,
-    cfg: SearchConfig,
+    floor: float,
     input_size: int,
 ) -> Dict[str, jax.Array]:
     """Spare the highest-|gamma| atoms dying THIS event until live FLOPs
-    stay >= cfg.flops_budget. Runs host-side (shrink events are outside
-    jit); only atoms alive before the event are candidates, so monotonicity
+    stay >= ``floor``. Runs host-side (shrink events are outside jit);
+    only atoms alive before the event are candidates, so monotonicity
     is preserved."""
     from atomnas_tpu.ops import flops as F
 
@@ -104,7 +110,7 @@ def _budget_floor(
     old = {k: np.asarray(v) for k, v in jax.device_get(old_masks).items()}
     new = {k: np.asarray(v).copy() for k, v in jax.device_get(new_masks).items()}
     live = F.model_flops(arch, input_size, new)
-    if live >= cfg.flops_budget:
+    if live >= floor:
         return new_masks
     dying = []  # (|gamma|, cost, key, idx) for atoms killed this event
     for i, b in enumerate(arch.blocks):
@@ -119,7 +125,7 @@ def _budget_floor(
             dying.append((float(gamma[j]), float(costs[key][j]), key, int(j)))
     dying.sort(reverse=True)  # largest |gamma| first: closest to surviving
     for g, c, key, j in dying:
-        if live >= cfg.flops_budget:
+        if live >= floor:
             break
         new[key][j] = 1.0
         live += c

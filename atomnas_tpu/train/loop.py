@@ -109,6 +109,16 @@ class Experiment:
             state, arch, meta = ckptlib.restore_checkpoint(restore_from, self.tx)
             self.arch, self.state = arch, state
             self.normalizer = float(meta["normalizer"])
+            # ramp anchor: the INIT supernet's FLOPs, constant across
+            # resumes and re-slices (else the budget ramp would jump on
+            # every restart); older checkpoints lack it — fall back to the
+            # restored arch's full FLOPs
+            self.supernet_flops = float(
+                meta.get(
+                    "supernet_flops",
+                    F.model_flops(arch, cfg.model.input_size),
+                )
+            )
             self.shrink_events = int(meta.get("shrink_events", 0))
             self.log.info(
                 "restored step %d (shrink_events=%d) from %s",
@@ -122,6 +132,9 @@ class Experiment:
             _, self.normalizer = penalty_weights(
                 self.arch, cfg.model.input_size,
                 flops_weighted=cfg.search.flops_weighted,
+            )
+            self.supernet_flops = float(
+                F.model_flops(self.arch, cfg.model.input_size)
             )
             self.shrink_events = 0
         self._place_state()
@@ -147,6 +160,8 @@ class Experiment:
                 self.tx, self.schedule, pw, cfg.model.input_size,
                 use_pallas=cfg.run.use_pallas,
                 data_shards=int(self.mesh.shape.get("data", 1)),
+                steps_per_epoch=self.steps_per_epoch,
+                supernet_flops=self.supernet_flops,
             ),
             donate_argnums=0,
         )
@@ -170,9 +185,18 @@ class Experiment:
 
     def _shrink_event(self, step: int) -> None:
         cfg = self.cfg
+        from atomnas_tpu.search.penalty import budget_target
+
+        # floor at the ramp's CURRENT target (== flops_budget once the ramp
+        # completes, and exactly flops_budget when the ramp is disabled) so
+        # the descent tracks the schedule instead of free-falling
+        floor = budget_target(
+            cfg.search, self.supernet_flops, step, self.steps_per_epoch
+        )
         new_masks = shrinklib.update_masks(
             self.state.params, self.state.masks, self.arch, cfg.search,
             input_size=cfg.model.input_size,
+            budget_floor=float(floor),
         )
         self.state = self.state.replace(
             masks=new_masks, shrink_events=self.state.shrink_events + 1
@@ -387,6 +411,7 @@ class Experiment:
                 path = ckptlib.save_checkpoint(
                     self.ckpt_dir, self.state, self.arch,
                     normalizer=self.normalizer, keep=cfg.run.keep_checkpoints,
+                    extra={"supernet_flops": self.supernet_flops},
                 )
                 self.log.info(
                     "interrupted at step %d: checkpointed to %s, exiting",
@@ -467,6 +492,7 @@ class Experiment:
                         self.ckpt_dir, self.state, self.arch,
                         normalizer=self.normalizer,
                         keep=cfg.run.keep_checkpoints,
+                        extra={"supernet_flops": self.supernet_flops},
                     )
                     self.log.info("checkpoint: %s", path)
 
@@ -479,6 +505,7 @@ class Experiment:
             ckptlib.save_checkpoint(
                 self.ckpt_dir, self.state, self.arch,
                 normalizer=self.normalizer, keep=cfg.run.keep_checkpoints,
+                extra={"supernet_flops": self.supernet_flops},
             )
         summary = {
             "final_step": self.total_steps,

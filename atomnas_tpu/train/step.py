@@ -25,7 +25,7 @@ from atomnas_tpu.config import DataConfig, OptimConfig, SearchConfig
 from atomnas_tpu.models.arch import ModelArch
 from atomnas_tpu.models.supernet import forward
 from atomnas_tpu.ops import flops as F
-from atomnas_tpu.search.penalty import penalty_term
+from atomnas_tpu.search.penalty import budget_target, penalty_term
 from atomnas_tpu.train import losses
 from atomnas_tpu.train.optim import ema_update
 from atomnas_tpu.train.state import TrainState
@@ -90,11 +90,18 @@ def make_train_step(
     input_size: int,
     use_pallas: bool = False,
     data_shards: int = 1,
+    steps_per_epoch: int = 1,
+    supernet_flops: float = 0.0,
 ) -> Callable:
     """Build the pure train-step fn for a given (static) arch.
 
     ``data_shards`` = the mesh's data-axis size; mixup pairs within shards
     so its permute stays chip-local (see ``mixup``).
+
+    ``steps_per_epoch`` / ``supernet_flops`` parameterize the adaptive
+    controller's budget ramp (search/penalty.py :: budget_target): the
+    penalty pressure is measured against the CURRENT target, so the descent
+    follows the schedule instead of collapsing to the final budget at once.
     """
     atom_costs = {k: jnp.asarray(v) for k, v in F.atom_flops(arch, input_size).items()}
     const_fl = F.constant_flops(arch, input_size)
@@ -114,7 +121,10 @@ def make_train_step(
 
         live_fl = F.live_flops(atom_costs, const_fl, state.masks)
         if adaptive:
-            over = (live_fl - scfg.flops_budget) / scfg.flops_budget
+            target = budget_target(
+                scfg, supernet_flops, state.step, steps_per_epoch
+            )
+            over = (live_fl - target) / target
             rho = scfg.penalty * jnp.clip(over, 0.0, 2.0)
         else:
             rho = scfg.penalty

@@ -31,7 +31,7 @@ TINY = (
 )
 
 
-def build(scfg, batch=8):
+def build(scfg, batch=8, steps_per_epoch=1, supernet_flops=0.0):
     mcfg = ModelConfig(
         num_classes=10, input_size=16, stem_channels=8, head_channels=32,
         compute_dtype="float32", dropout=0.0, inverted_residual_setting=TINY,
@@ -45,7 +45,10 @@ def build(scfg, batch=8):
     tx = make_optimizer(ocfg, sched)
     state = create_train_state(params, stats, masks, tx)
     pw, _ = penalty_weights(arch, 16)
-    step = jax.jit(make_train_step(arch, ocfg, scfg, dcfg, tx, sched, pw, 16))
+    step = jax.jit(make_train_step(
+        arch, ocfg, scfg, dcfg, tx, sched, pw, 16,
+        steps_per_epoch=steps_per_epoch, supernet_flops=supernet_flops,
+    ))
     return arch, state, step
 
 
@@ -82,6 +85,56 @@ def test_adaptive_penalty_zero_below_budget():
     _, state3, step3 = build(scfg3)
     _, m3 = step3(state3, make_batch(), jax.random.key(0))
     assert float(m3["penalty"]) > 0.0
+
+
+def test_budget_target_ramp_schedule():
+    """budget_target: linear descent supernet->budget across the ramp
+    window; constant at the budget with the ramp disabled; traced (jit)
+    and host evaluations agree exactly."""
+    from atomnas_tpu.search.penalty import budget_target
+
+    scfg = SearchConfig(
+        enabled=True, penalty_schedule="adaptive", flops_budget=100.0,
+        budget_warmup_epochs=2.0, budget_ramp_epochs=8.0,
+    )
+    full, spe = 1000.0, 10  # warmup = steps 0..20, ramp = steps 20..100
+    assert budget_target(scfg, full, 0, spe) == 1000.0
+    assert budget_target(scfg, full, 20, spe) == 1000.0
+    assert budget_target(scfg, full, 60, spe) == 550.0  # midpoint
+    assert budget_target(scfg, full, 100, spe) == 100.0
+    assert budget_target(scfg, full, 10_000, spe) == 100.0  # clamped
+    # ramp disabled => constant final budget (legacy adaptive behavior)
+    off = dataclasses.replace(scfg, budget_ramp_epochs=0.0)
+    assert budget_target(off, full, 0, spe) == 100.0
+    # traced == host
+    f = jax.jit(lambda s: budget_target(scfg, full, s, spe))
+    for st in (0, 20, 60, 100, 7777):
+        assert float(f(jnp.asarray(st))) == budget_target(scfg, full, st, spe)
+
+
+def test_adaptive_ramp_no_pressure_before_warmup():
+    """With the ramp anchored at the supernet's own FLOPs, step 0 has zero
+    penalty pressure even when flops_budget is far below live FLOPs — the
+    descent starts at the warmup boundary, not immediately (the round-3
+    constant-target failure mode)."""
+    arch = supernet_arch(
+        ModelConfig(num_classes=10, input_size=16, stem_channels=8,
+                    head_channels=32, inverted_residual_setting=TINY)
+    )
+    full = F.model_flops(arch, 16)
+    scfg = SearchConfig(
+        enabled=True, penalty=1e-2, penalty_schedule="adaptive",
+        flops_budget=full / 4,
+        budget_warmup_epochs=1.0, budget_ramp_epochs=5.0,
+    )
+    _, state, step = build(scfg, steps_per_epoch=10, supernet_flops=full)
+    _, m = step(state, make_batch(), jax.random.key(0))
+    assert float(m["penalty"]) == 0.0
+    # same config WITHOUT the ramp: immediate full pressure
+    off = dataclasses.replace(scfg, budget_ramp_epochs=0.0)
+    _, state2, step2 = build(off, steps_per_epoch=10, supernet_flops=full)
+    _, m2 = step2(state2, make_batch(), jax.random.key(0))
+    assert float(m2["penalty"]) > 0.0
 
 
 def test_training_is_deterministic():

@@ -146,6 +146,31 @@ def test_update_masks_budget_floor():
                                       np.asarray(m_nofloor[k]))
 
 
+def test_update_masks_budget_floor_override():
+    """``budget_floor`` (the adaptive controller's moving ramp target)
+    overrides cfg.flops_budget: live FLOPs land at the OVERRIDE, so a
+    descent tracks the schedule instead of free-falling to the final
+    budget."""
+    mcfg, arch, params, stats, masks = build()
+    params = scatter_gammas(params)
+    size = mcfg.input_size
+    supernet_fl = F.model_flops(arch, size)
+    cfg_nofloor = SearchConfig(prune_threshold=0.15, min_atoms_nonresidual=1)
+    m_nofloor = shrink.update_masks(params, masks, arch, cfg_nofloor)
+    fl_nofloor = F.model_flops(arch, size, jax.device_get(m_nofloor))
+    final_budget = fl_nofloor  # final budget WOULD permit all the deaths
+    ramp_target = (fl_nofloor + supernet_fl) / 2  # but the ramp says: not yet
+    cfg = SearchConfig(prune_threshold=0.15, min_atoms_nonresidual=1,
+                       flops_budget=final_budget)
+    m = shrink.update_masks(params, masks, arch, cfg, input_size=size,
+                            budget_floor=ramp_target)
+    fl = F.model_flops(arch, size, jax.device_get(m))
+    max_atom = max(
+        float(np.max(c)) for c in F.atom_flops(arch, size).values() if c.size
+    )
+    assert ramp_target <= fl < ramp_target + max_atom, (fl, ramp_target)
+
+
 @pytest.mark.parametrize("se", [0.0, 0.25], ids=["plain", "se"])
 def test_reslice_logits_equivalence(se):
     """THE crux: masked supernet and re-sliced compact net must produce
