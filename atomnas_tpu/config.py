@@ -170,6 +170,17 @@ class SearchConfig:
     # ramp reproduces with a controlled arrival time.
     budget_warmup_epochs: float = 0.0
     budget_ramp_epochs: float = 0.0
+    # Cost surface the search optimizes (beyond-reference; the reference is
+    # FLOPs-only). "flops": analytic MACs (paper protocol). "latency":
+    # measured per-block device-ms LUT (search/latency.py) — atom penalty
+    # prices, the adaptive controller's live metric/target, and the
+    # shrink-event budget floor all switch to milliseconds; the budget is
+    # ``latency_budget_ms`` (``flops_budget`` is ignored) and
+    # ``flops_weighted`` is moot (latency prices replace FLOPs prices).
+    cost_metric: str = "flops"
+    latency_budget_ms: float = 0.0  # target model ms (cost_metric=latency)
+    # batch size the LUT is measured at (per-block standalone forward)
+    latency_lut_batch: int = 8
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,243 @@
+"""Latency-aware search: price atoms by MEASURED device time, not FLOPs.
+
+Beyond-reference capability (PARITY.md "beyond reference"; the reference
+prices atoms purely by analytic MACs — ``utils/prune.py`` resource-aware
+weights, SURVEY.md sec 2.1 shrinkage row). FLOPs misprice atoms on TPU:
+this model family is bandwidth/VPU-bound, MFU ~4% (BASELINE.md), and
+channel tiling quantizes real cost — so two atoms with equal MACs can have
+very different device-ms prices. Latency mode replaces the FLOPs cost
+surface with a measured one, the FBNet/ProxylessNAS latency-LUT idea
+rebuilt for this framework's in-place shrinkage:
+
+* a per-block **latency LUT** is measured ON DEVICE once at startup
+  (``measure_latency_lut``): each searchable block is timed standalone at
+  several atom occupancies (branch-proportional masks), every other module
+  (stem / head / non-searchable blocks) folds into a constant;
+* the **live model ms** is a jit-compatible piecewise-linear interpolation
+  over per-block live-atom counts (``live_ms_tables`` + ``live_ms``), so
+  the adaptive controller can budget in milliseconds exactly the way it
+  budgets in FLOPs;
+* **per-atom prices** (``atom_ms``) split each block's measured marginal
+  ms across its atoms in proportion to their analytic FLOPs — within-block
+  RELATIVE cost follows the closed-form decomposition (which knows that a
+  7x7 dw tap chain is pricier than a 3x3), while the block-level ABSOLUTE
+  scale is measured. These feed the L1 penalty weights and the shrink-event
+  budget floor.
+
+Honest caveats (same composition caveat as ops/latency.py): blocks are
+timed as standalone jitted programs with masked (not re-sliced) shapes, so
+the LUT is a *pricing model* for search pressure, not an end-to-end step
+predictor; its block-level ordering and slopes are what matter. The LUT is
+serialized into checkpoint metadata so resume reuses the measurement, and
+re-keyed across re-slices (``rekey``) — a dropped block's intercept stays
+in the constant (slight overestimate, noted here by design).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from atomnas_tpu.models import layers
+from atomnas_tpu.models.arch import ModelArch
+from atomnas_tpu.models.supernet import _block_forward
+from atomnas_tpu.ops import flops as F
+from atomnas_tpu.ops.latency import _time_fn
+
+Lut = Dict[str, Any]
+
+
+def occupancy_mask(b, frac: float) -> np.ndarray:
+    """Branch-proportional occupancy: keep the leading ``ceil(frac*h)``
+    atoms of every branch (>=1 per branch so no branch degenerates).
+    Block cost depends on live COUNTS, not identities, so leading atoms
+    are as good as any."""
+    parts = []
+    for h in b.hidden:
+        n = min(h, max(1, int(round(frac * h))))
+        m = np.zeros((h,), np.float32)
+        m[:n] = 1.0
+        parts.append(m)
+    return np.concatenate(parts) if parts else np.zeros((0,), np.float32)
+
+
+def measure_latency_lut(
+    arch: ModelArch,
+    params: Dict[str, Any],
+    stats: Dict[str, Any],
+    input_size: int,
+    batch: int = 8,
+    fracs: Tuple[float, ...] = (0.05, 0.25, 0.5, 0.75, 1.0),
+    iters: int = 10,
+) -> Lut:
+    """Measure the per-block occupancy->ms LUT on the current backend.
+
+    Returns ``{"const_ms", "batch", "input_size", "backend",
+    "blocks": {key: {"occ": [...], "ms": [...]}}}`` with searchable blocks
+    in ``blocks`` and everything else summed into ``const_ms``.
+    """
+    from atomnas_tpu.ops.latency import module_latency
+
+    full_masks = {
+        f"block_{i}": jnp.ones((b.total_hidden,), jnp.float32)
+        for i, b in enumerate(arch.blocks)
+    }
+    base = module_latency(
+        arch, params, stats, full_masks, input_size, batch=batch, iters=iters
+    )
+    const_ms = base["stem"] + base["head"] + sum(
+        base[f"block_{i}"]
+        for i, b in enumerate(arch.blocks)
+        if not b.searchable
+    )
+
+    act = layers.get_active_fn(arch.active_fn)
+    dtype = jnp.dtype(arch.compute_dtype)
+    bn_kw = dict(
+        training=False, momentum=arch.bn_momentum, epsilon=arch.bn_epsilon
+    )
+    sizes = F.spatial_sizes(arch, input_size)
+    per_flops = F.atom_flops(arch, input_size)
+    rng = np.random.RandomState(0)
+
+    blocks: Dict[str, Dict[str, List[float]]] = {}
+    for i, b in enumerate(arch.blocks):
+        if not b.searchable:
+            continue
+        key = f"block_{i}"
+        s_in = sizes[i][0]
+        xb = jnp.asarray(rng.rand(batch, s_in, s_in, b.cin), dtype)
+        fn = jax.jit(
+            functools.partial(_block_forward, b=b, act=act, bn_kw=bn_kw)
+        )
+        occ: List[float] = []
+        ms: List[float] = []
+        for f in fracs:
+            if f >= 1.0:
+                occ.append(float(b.total_hidden))
+                ms.append(float(base[key]))  # already measured at full
+                continue
+            m = occupancy_mask(b, f)
+            occ.append(float(m.sum()))
+            ms.append(float(_time_fn(
+                fn,
+                (params["blocks"][i], stats["blocks"][i],
+                 jnp.asarray(m), xb),
+                iters,
+            )))
+        # occupancies must be strictly increasing for interp; rounding can
+        # collide at tiny blocks — dedupe keeping the later (larger-ms apt)
+        o, s = [], []
+        for a, t in sorted(zip(occ, ms)):
+            if o and a == o[-1]:
+                s[-1] = t
+            else:
+                o.append(a)
+                s.append(t)
+        blocks[key] = {
+            "occ": o,
+            "ms": s,
+            # mean analytic atom FLOPs at MEASURE time: atom_ms normalizes
+            # by this (not the survivors' mean) so an atom's price is
+            # constant across shrinkage like the FLOPs weights are
+            "mean_atom_flops": float(per_flops[key].mean())
+            if per_flops[key].size
+            else 1.0,
+        }
+    return {
+        "const_ms": float(const_ms),
+        "batch": batch,
+        "input_size": input_size,
+        "backend": jax.default_backend(),
+        "blocks": blocks,
+    }
+
+
+def supernet_ms(lut: Lut) -> float:
+    """Model ms at full occupancy (the budget ramp's anchor)."""
+    return lut["const_ms"] + sum(
+        e["ms"][-1] for e in lut["blocks"].values()
+    )
+
+
+def live_ms_host(lut: Lut, masks: Dict[str, np.ndarray]) -> float:
+    """Host-side model ms at the given masks (shrink events, logging)."""
+    total = lut["const_ms"]
+    for key, e in lut["blocks"].items():
+        if key not in masks:
+            continue
+        live = float(np.asarray(masks[key]).sum())
+        total += float(np.interp(live, e["occ"], e["ms"]))
+    return total
+
+
+def live_ms_tables(lut: Lut) -> Tuple[Dict[str, Tuple[jnp.ndarray, jnp.ndarray]], float]:
+    """Device-ready interp tables for the in-jit live-ms metric."""
+    tables = {
+        key: (jnp.asarray(e["occ"], jnp.float32),
+              jnp.asarray(e["ms"], jnp.float32))
+        for key, e in lut["blocks"].items()
+    }
+    return tables, float(lut["const_ms"])
+
+
+def live_ms(
+    tables: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]],
+    const_ms: float,
+    masks: Dict[str, jax.Array],
+) -> jax.Array:
+    """jit-compatible live model ms from the masks (mirrors live_ms_host)."""
+    total = jnp.asarray(const_ms, jnp.float32)
+    for key, (occ, ms) in tables.items():
+        if key not in masks:
+            continue
+        live = jnp.sum(masks[key]).astype(jnp.float32)
+        total = total + jnp.interp(live, occ, ms)
+    return total
+
+
+def atom_ms(lut: Lut, arch: ModelArch, input_size: int) -> Dict[str, np.ndarray]:
+    """Per-atom ms prices, keyed like the mask pytree.
+
+    Block marginal ms (the LUT chord from lowest to full occupancy, i.e.
+    excluding the intercept the block costs even near-empty) is split
+    across the block's atoms in proportion to their analytic FLOPs — the
+    closed form carries the within-block branch structure (kernel size, SE)
+    that a total-occupancy LUT cannot resolve; the measurement carries the
+    absolute device pricing. Like the FLOPs weights, an atom's price is
+    constant across shrinkage (chord slope + its own FLOPs), so penalty
+    weights stay valid between re-slices.
+    """
+    per_flops = F.atom_flops(arch, input_size)
+    out: Dict[str, np.ndarray] = {}
+    for i, b in enumerate(arch.blocks):
+        key = f"block_{i}"
+        if not b.searchable or key not in lut["blocks"]:
+            out[key] = np.zeros((b.total_hidden,), np.float32)
+            continue
+        e = lut["blocks"][key]
+        d_occ = e["occ"][-1] - e["occ"][0]
+        slope = (e["ms"][-1] - e["ms"][0]) / max(d_occ, 1.0)  # ms per atom
+        fl = per_flops[key]
+        mean_fl = float(e.get("mean_atom_flops") or (fl.mean() if fl.size else 1.0))
+        out[key] = (slope * fl / max(mean_fl, 1e-30)).astype(np.float32)
+    return out
+
+
+def rekey(lut: Lut, block_index_map: List[int]) -> Lut:
+    """Re-index the LUT after a re-slice (new block i <- old block
+    ``block_index_map[i]``). Entries of dropped blocks vanish; their
+    intercept remains in const_ms (slight overestimate, documented)."""
+    old_blocks = lut["blocks"]
+    new_blocks = {}
+    for new_i, old_i in enumerate(block_index_map):
+        old_key = f"block_{old_i}"
+        if old_key in old_blocks:
+            new_blocks[f"block_{new_i}"] = old_blocks[old_key]
+    out = dict(lut)
+    out["blocks"] = new_blocks
+    return out

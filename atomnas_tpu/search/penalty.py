@@ -71,27 +71,33 @@ def penalty_weights(
 
 def budget_target(
     scfg,
-    supernet_flops: float,
+    supernet_cost: float,
     step,
     steps_per_epoch: int,
+    budget: float | None = None,
 ):
-    """Current FLOPs target of the adaptive controller at ``step``.
+    """Current cost target of the adaptive controller at ``step``.
 
-    Linear descent from ``supernet_flops`` to ``scfg.flops_budget`` across
+    Linear descent from ``supernet_cost`` to the budget across
     ``[budget_warmup_epochs, budget_warmup_epochs + budget_ramp_epochs]``;
-    constant at ``flops_budget`` when the ramp is disabled (ramp <= 0).
-    Pure arithmetic — works on a traced ``state.step`` inside jit and on a
-    host int at shrink events, and both agree exactly.
+    constant at the budget when the ramp is disabled (ramp <= 0). The cost
+    unit is whatever the caller's surface is — ``budget`` defaults to
+    ``scfg.flops_budget`` (MACs); latency mode passes
+    ``scfg.latency_budget_ms`` with ``supernet_cost`` in ms
+    (search/latency.py). Pure arithmetic — works on a traced ``state.step``
+    inside jit and on a host int at shrink events, and both agree exactly.
     """
+    if budget is None:
+        budget = scfg.flops_budget
     if scfg.budget_ramp_epochs <= 0:
-        return float(scfg.flops_budget)
+        return float(budget)
     w = scfg.budget_warmup_epochs * steps_per_epoch
     r = scfg.budget_ramp_epochs * steps_per_epoch
     if isinstance(step, (int, float)):
         frac = min(max((float(step) - w) / r, 0.0), 1.0)
-        return supernet_flops + frac * (scfg.flops_budget - supernet_flops)
+        return supernet_cost + frac * (budget - supernet_cost)
     frac = jnp.clip((step.astype(jnp.float32) - w) / r, 0.0, 1.0)
-    return supernet_flops + frac * (scfg.flops_budget - supernet_flops)
+    return supernet_cost + frac * (budget - supernet_cost)
 
 
 def penalty_term(

@@ -47,6 +47,8 @@ def update_masks(
     cfg: SearchConfig,
     input_size: int | None = None,
     budget_floor: float | None = None,
+    atom_costs: Dict[str, np.ndarray] | None = None,
+    live_cost_fn=None,
 ) -> Dict[str, jax.Array]:
     """One shrink event: kill atoms whose |gamma| fell below the threshold.
 
@@ -66,6 +68,11 @@ def update_masks(
     ``budget_floor`` overrides the floor value (the adaptive controller's
     budget ramp passes its CURRENT target, so the descent tracks the
     schedule); default is ``cfg.flops_budget``.
+
+    ``atom_costs`` / ``live_cost_fn`` switch the floor's cost surface
+    (latency mode passes per-atom ms and a LUT-interp live-ms fn —
+    search/latency.py); default is the analytic FLOPs surface. The floor,
+    the costs and the live metric must share one unit.
     """
     new_masks = dict(masks)
     for i, b in enumerate(arch.blocks):
@@ -85,9 +92,10 @@ def update_masks(
             alive = jnp.where(jnp.sum(alive) >= keep, alive, jnp.maximum(alive, forced))
         new_masks[key] = alive
     floor = cfg.flops_budget if budget_floor is None else budget_floor
-    if floor > 0 and input_size is not None:
+    if floor > 0 and (input_size is not None or atom_costs is not None):
         new_masks = _budget_floor(
-            params, masks, new_masks, arch, floor, input_size
+            params, masks, new_masks, arch, floor, input_size,
+            atom_costs=atom_costs, live_cost_fn=live_cost_fn,
         )
     return new_masks
 
@@ -98,18 +106,27 @@ def _budget_floor(
     new_masks: Dict[str, jax.Array],
     arch: ModelArch,
     floor: float,
-    input_size: int,
+    input_size: int | None,
+    atom_costs: Dict[str, np.ndarray] | None = None,
+    live_cost_fn=None,
 ) -> Dict[str, jax.Array]:
-    """Spare the highest-|gamma| atoms dying THIS event until live FLOPs
-    stay >= ``floor``. Runs host-side (shrink events are outside jit);
+    """Spare the highest-|gamma| atoms dying THIS event until the live cost
+    stays >= ``floor``. Runs host-side (shrink events are outside jit);
     only atoms alive before the event are candidates, so monotonicity
-    is preserved."""
+    is preserved. Cost surface: analytic FLOPs by default; per-atom
+    ``atom_costs`` + ``live_cost_fn(masks)->cost`` when given (latency
+    mode)."""
     from atomnas_tpu.ops import flops as F
 
-    costs = F.atom_flops(arch, input_size)
+    if atom_costs is None:
+        costs = F.atom_flops(arch, input_size)
+        live_cost_fn = lambda m: F.model_flops(arch, input_size, m)  # noqa: E731
+    else:
+        costs = atom_costs
+        assert live_cost_fn is not None, "atom_costs requires live_cost_fn"
     old = {k: np.asarray(v) for k, v in jax.device_get(old_masks).items()}
     new = {k: np.asarray(v).copy() for k, v in jax.device_get(new_masks).items()}
-    live = F.model_flops(arch, input_size, new)
+    live = live_cost_fn(new)
     if live >= floor:
         return new_masks
     dying = []  # (|gamma|, cost, key, idx) for atoms killed this event
@@ -128,7 +145,10 @@ def _budget_floor(
         if live >= floor:
             break
         new[key][j] = 1.0
-        live += c
+        if atom_costs is None:
+            live += c  # FLOPs are linear in atoms: exact incremental update
+        else:
+            live = live_cost_fn(new)  # LUT surface is piecewise: recompute
     return {k: jnp.asarray(v) for k, v in new.items()}
 
 

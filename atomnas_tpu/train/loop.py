@@ -120,6 +120,8 @@ class Experiment:
                 )
             )
             self.shrink_events = int(meta.get("shrink_events", 0))
+            lut_from_meta = meta.get("latency_lut")
+            self._restored_supernet_ms = meta.get("supernet_ms")
             self.log.info(
                 "restored step %d (shrink_events=%d) from %s",
                 int(state.step), self.shrink_events, restore_from,
@@ -137,7 +139,18 @@ class Experiment:
                 F.model_flops(self.arch, cfg.model.input_size)
             )
             self.shrink_events = 0
+            lut_from_meta = None
+            self._restored_supernet_ms = None
         self._place_state()
+        if cfg.search.cost_metric not in ("flops", "latency"):
+            raise ValueError(
+                f"search.cost_metric must be 'flops' or 'latency', "
+                f"got {cfg.search.cost_metric!r}"
+            )
+        self.latency_lut = None
+        self.supernet_ms = 0.0
+        if cfg.search.enabled and cfg.search.cost_metric == "latency":
+            self._init_latency_lut(lut_from_meta, fresh=restore_from is None)
         self.log.info("arch:\n%s", arch_summary(self.arch))
         self.log.info(
             "model: %.2f MFLOPs, %.3f M params (live)",
@@ -148,12 +161,83 @@ class Experiment:
     def _place_state(self) -> None:
         self.state = meshlib.place_state(self.mesh, self.state)
 
+    def _init_latency_lut(self, lut, fresh: bool) -> None:
+        """cost_metric=latency: measure (or restore) the per-block device-ms
+        LUT that prices atoms for the penalty, the adaptive controller and
+        the budget floor (search/latency.py; beyond-reference — the
+        reference prices by analytic MACs only)."""
+        from atomnas_tpu.search import latency as latlib
+
+        cfg = self.cfg
+        if (
+            cfg.search.penalty_schedule == "adaptive"
+            and cfg.search.latency_budget_ms <= 0
+        ):
+            raise ValueError(
+                "search.cost_metric=latency with the adaptive schedule "
+                "requires search.latency_budget_ms > 0"
+            )
+        if lut is None:
+            t0 = time.perf_counter()
+            self.log.info(
+                "measuring per-block latency LUT on %s (batch %d)...",
+                jax.default_backend(), cfg.search.latency_lut_batch,
+            )
+            lut = latlib.measure_latency_lut(
+                self.arch, self.state.params, self.state.batch_stats,
+                cfg.model.input_size, batch=cfg.search.latency_lut_batch,
+            )
+            self.log.info(
+                "latency LUT: const %.3f ms, supernet %.3f ms "
+                "(%d blocks, took %.1fs)",
+                lut["const_ms"], latlib.supernet_ms(lut),
+                len(lut["blocks"]), time.perf_counter() - t0,
+            )
+        self.latency_lut = lut
+        # ramp anchor: the INIT supernet's ms, constant across resumes and
+        # re-slices (re-keyed LUTs lose dropped blocks' ms)
+        self.supernet_ms = float(
+            self._restored_supernet_ms
+            if self._restored_supernet_ms is not None
+            else latlib.supernet_ms(lut)
+        )
+        if fresh:
+            # normalizer convention matches the FLOPs weights: mean atom
+            # price over the supernet's searchable atoms at init = 1
+            costs = latlib.atom_ms(lut, self.arch, cfg.model.input_size)
+            alive = np.concatenate([
+                costs[f"block_{i}"]
+                for i, b in enumerate(self.arch.blocks)
+                if b.searchable and b.total_hidden > 0
+            ]) if any(b.searchable for b in self.arch.blocks) else np.ones((1,))
+            self.normalizer = float(alive.mean())
+
+    def _ckpt_extra(self) -> dict:
+        extra = {"supernet_flops": self.supernet_flops}
+        if self.latency_lut is not None:
+            extra["latency_lut"] = self.latency_lut
+            extra["supernet_ms"] = self.supernet_ms
+        return extra
+
     def _build_steps(self) -> None:
         cfg = self.cfg
-        pw, _ = penalty_weights(
-            self.arch, cfg.model.input_size, normalizer=self.normalizer,
-            flops_weighted=cfg.search.flops_weighted,
-        )
+        lat_tables, lat_const = None, 0.0
+        if self.latency_lut is not None:
+            from atomnas_tpu.search import latency as latlib
+
+            costs = latlib.atom_ms(
+                self.latency_lut, self.arch, cfg.model.input_size
+            )
+            pw = {
+                k: (v / self.normalizer).astype(np.float32)
+                for k, v in costs.items()
+            }
+            lat_tables, lat_const = latlib.live_ms_tables(self.latency_lut)
+        else:
+            pw, _ = penalty_weights(
+                self.arch, cfg.model.input_size, normalizer=self.normalizer,
+                flops_weighted=cfg.search.flops_weighted,
+            )
         self._train_step = jax.jit(
             make_train_step(
                 self.arch, cfg.optim, cfg.search, cfg.data,
@@ -162,6 +246,9 @@ class Experiment:
                 data_shards=int(self.mesh.shape.get("data", 1)),
                 steps_per_epoch=self.steps_per_epoch,
                 supernet_flops=self.supernet_flops,
+                latency_tables=lat_tables,
+                latency_const_ms=lat_const,
+                supernet_ms=self.supernet_ms,
             ),
             donate_argnums=0,
         )
@@ -187,17 +274,35 @@ class Experiment:
         cfg = self.cfg
         from atomnas_tpu.search.penalty import budget_target
 
-        # floor at the ramp's CURRENT target (== flops_budget once the ramp
-        # completes, and exactly flops_budget when the ramp is disabled) so
+        # floor at the ramp's CURRENT target (== the budget once the ramp
+        # completes, and exactly the budget when the ramp is disabled) so
         # the descent tracks the schedule instead of free-falling
-        floor = budget_target(
-            cfg.search, self.supernet_flops, step, self.steps_per_epoch
-        )
-        new_masks = shrinklib.update_masks(
-            self.state.params, self.state.masks, self.arch, cfg.search,
-            input_size=cfg.model.input_size,
-            budget_floor=float(floor),
-        )
+        if self.latency_lut is not None:
+            from atomnas_tpu.search import latency as latlib
+
+            floor = budget_target(
+                cfg.search, self.supernet_ms, step, self.steps_per_epoch,
+                budget=cfg.search.latency_budget_ms,
+            )
+            lat_costs = latlib.atom_ms(
+                self.latency_lut, self.arch, cfg.model.input_size
+            )
+            lut = self.latency_lut
+            new_masks = shrinklib.update_masks(
+                self.state.params, self.state.masks, self.arch, cfg.search,
+                budget_floor=float(floor),
+                atom_costs=lat_costs,
+                live_cost_fn=lambda m: latlib.live_ms_host(lut, m),
+            )
+        else:
+            floor = budget_target(
+                cfg.search, self.supernet_flops, step, self.steps_per_epoch
+            )
+            new_masks = shrinklib.update_masks(
+                self.state.params, self.state.masks, self.arch, cfg.search,
+                input_size=cfg.model.input_size,
+                budget_floor=float(floor),
+            )
         self.state = self.state.replace(
             masks=new_masks, shrink_events=self.state.shrink_events + 1
         )
@@ -206,15 +311,26 @@ class Experiment:
         masks_host = jax.device_get(new_masks)
         live_fl = F.model_flops(self.arch, cfg.model.input_size, masks_host)
         alive = int(sum(m.sum() for m in masks_host.values()))
-        self.log.info(
-            "shrink event %d @ step %d: %d atoms alive, %.2f MFLOPs (budget %.2f)",
-            self.shrink_events, step, alive, live_fl / 1e6,
-            cfg.search.flops_budget / 1e6,
-        )
-        self.writer.dump_arch(
-            step, self.arch.to_json(),
-            {"alive_atoms": alive, "live_mflops": live_fl / 1e6},
-        )
+        arch_event = {"alive_atoms": alive, "live_mflops": live_fl / 1e6}
+        if self.latency_lut is not None:
+            from atomnas_tpu.search import latency as latlib
+
+            live_ms_now = latlib.live_ms_host(self.latency_lut, masks_host)
+            arch_event["live_ms"] = live_ms_now
+            self.log.info(
+                "shrink event %d @ step %d: %d atoms alive, %.3f ms "
+                "(%.2f MFLOPs; ms budget %.3f)",
+                self.shrink_events, step, alive, live_ms_now, live_fl / 1e6,
+                cfg.search.latency_budget_ms,
+            )
+        else:
+            self.log.info(
+                "shrink event %d @ step %d: %d atoms alive, %.2f MFLOPs "
+                "(budget %.2f)",
+                self.shrink_events, step, alive, live_fl / 1e6,
+                cfg.search.flops_budget / 1e6,
+            )
+        self.writer.dump_arch(step, self.arch.to_json(), arch_event)
         if (
             cfg.search.reslice_every_events > 0
             and self.shrink_events % cfg.search.reslice_every_events == 0
@@ -262,6 +378,12 @@ class Experiment:
             params=res.params, batch_stats=res.batch_stats, masks=res.masks,
             ema_params=res.ema_params, opt_state=new_opt,
         )
+        if self.latency_lut is not None:
+            from atomnas_tpu.search import latency as latlib
+
+            self.latency_lut = latlib.rekey(
+                self.latency_lut, res.block_index_map
+            )
         self._place_state()
         self._build_steps()
         self.log.info(
@@ -411,7 +533,7 @@ class Experiment:
                 path = ckptlib.save_checkpoint(
                     self.ckpt_dir, self.state, self.arch,
                     normalizer=self.normalizer, keep=cfg.run.keep_checkpoints,
-                    extra={"supernet_flops": self.supernet_flops},
+                    extra=self._ckpt_extra(),
                 )
                 self.log.info(
                     "interrupted at step %d: checkpointed to %s, exiting",
@@ -434,25 +556,28 @@ class Experiment:
 
             if (step + 1) % cfg.run.log_interval_steps == 0:
                 sums = jax.device_get(msum)
-                last = jax.device_get(
-                    {k: metrics[k] for k in ("lr", "live_mflops", "live_atoms")}
-                )
+                snap_keys = ["lr", "live_mflops", "live_atoms"]
+                if "live_ms" in metrics:
+                    snap_keys.append("live_ms")
+                last = jax.device_get({k: metrics[k] for k in snap_keys})
                 row = {k: float(v) / msteps for k, v in sums.items()}
                 row.update(
-                    lr=float(last["lr"]),
-                    live_mflops=float(last["live_mflops"]),
-                    live_atoms=float(last["live_atoms"]),
+                    {k: float(last[k]) for k in snap_keys},
                     images_per_sec=tput.rate(),
                     images_per_sec_chip=tput.rate_per_chip(),
                     epoch=step // self.steps_per_epoch,
                 )
                 self.writer.write(step + 1, row, stream="train")
+                live_str = (
+                    f"{row['live_ms']:.3f}ms" if "live_ms" in row
+                    else f"{row['live_mflops']:.1f}MF"
+                )
                 self.log.info(
                     "step %d/%d ep%d loss=%.3f ce=%.3f pen=%.4f top1=%.3f "
-                    "lr=%.4f live=%.1fMF %d img/s (%d /chip)",
+                    "lr=%.4f live=%s %d img/s (%d /chip)",
                     step + 1, self.total_steps, row["epoch"], row["loss"],
                     row["ce"], row["penalty"], row["top1"], row["lr"],
-                    row["live_mflops"], row["images_per_sec"],
+                    live_str, row["images_per_sec"],
                     row["images_per_sec_chip"],
                 )
                 msum = None
@@ -492,7 +617,7 @@ class Experiment:
                         self.ckpt_dir, self.state, self.arch,
                         normalizer=self.normalizer,
                         keep=cfg.run.keep_checkpoints,
-                        extra={"supernet_flops": self.supernet_flops},
+                        extra=self._ckpt_extra(),
                     )
                     self.log.info("checkpoint: %s", path)
 
@@ -505,7 +630,7 @@ class Experiment:
             ckptlib.save_checkpoint(
                 self.ckpt_dir, self.state, self.arch,
                 normalizer=self.normalizer, keep=cfg.run.keep_checkpoints,
-                extra={"supernet_flops": self.supernet_flops},
+                extra=self._ckpt_extra(),
             )
         summary = {
             "final_step": self.total_steps,
@@ -517,6 +642,12 @@ class Experiment:
             ) / 1e6,
             **{f"final_{k}": v for k, v in last_eval.items()},
         }
+        if self.latency_lut is not None:
+            from atomnas_tpu.search import latency as latlib
+
+            summary["final_lut_ms"] = latlib.live_ms_host(
+                self.latency_lut, jax.device_get(self.state.masks)
+            )
         if jax.process_index() == 0:  # master-only shared-file write
             (pathlib.Path(cfg.run.log_dir) / "summary.json").write_text(
                 json.dumps(summary, indent=2)

@@ -92,6 +92,9 @@ def make_train_step(
     data_shards: int = 1,
     steps_per_epoch: int = 1,
     supernet_flops: float = 0.0,
+    latency_tables=None,
+    latency_const_ms: float = 0.0,
+    supernet_ms: float = 0.0,
 ) -> Callable:
     """Build the pure train-step fn for a given (static) arch.
 
@@ -102,15 +105,23 @@ def make_train_step(
     controller's budget ramp (search/penalty.py :: budget_target): the
     penalty pressure is measured against the CURRENT target, so the descent
     follows the schedule instead of collapsing to the final budget at once.
+
+    ``latency_tables``/``latency_const_ms``/``supernet_ms`` (set when
+    ``scfg.cost_metric == "latency"``) switch the adaptive controller's
+    live metric and target to the measured device-ms LUT surface
+    (search/latency.py): rho pressure tracks live ms against
+    ``scfg.latency_budget_ms``, and the per-step metrics gain ``live_ms``.
+    Live FLOPs stay logged either way.
     """
     atom_costs = {k: jnp.asarray(v) for k, v in F.atom_flops(arch, input_size).items()}
     const_fl = F.constant_flops(arch, input_size)
     pen_w = {k: jnp.asarray(v) for k, v in pen_weights.items()}
     search_on = scfg.enabled and scfg.penalty > 0
+    lat_mode = scfg.cost_metric == "latency" and latency_tables is not None
     adaptive = (
         search_on
         and scfg.penalty_schedule == "adaptive"
-        and scfg.flops_budget > 0
+        and (scfg.latency_budget_ms > 0 if lat_mode else scfg.flops_budget > 0)
     )
 
     def train_step(
@@ -120,11 +131,25 @@ def make_train_step(
         drop_rng, mix_rng = jax.random.split(step_rng)
 
         live_fl = F.live_flops(atom_costs, const_fl, state.masks)
-        if adaptive:
-            target = budget_target(
-                scfg, supernet_flops, state.step, steps_per_epoch
+        live_cost_ms = None
+        if lat_mode:
+            from atomnas_tpu.search.latency import live_ms
+
+            live_cost_ms = live_ms(
+                latency_tables, latency_const_ms, state.masks
             )
-            over = (live_fl - target) / target
+        if adaptive:
+            if lat_mode:
+                target = budget_target(
+                    scfg, supernet_ms, state.step, steps_per_epoch,
+                    budget=scfg.latency_budget_ms,
+                )
+                over = (live_cost_ms - target) / target
+            else:
+                target = budget_target(
+                    scfg, supernet_flops, state.step, steps_per_epoch
+                )
+                over = (live_fl - target) / target
             rho = scfg.penalty * jnp.clip(over, 0.0, 2.0)
         else:
             rho = scfg.penalty
@@ -210,6 +235,8 @@ def make_train_step(
             "live_mflops": live_fl / 1e6,
             "live_atoms": sum(m.sum() for m in state.masks.values()),
         }
+        if live_cost_ms is not None:
+            metrics["live_ms"] = live_cost_ms
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,

@@ -1,0 +1,176 @@
+"""Latency-aware search demo on real hardware (cost_metric=latency).
+
+Beyond-reference capability (search/latency.py; PARITY.md "beyond
+reference"): the reference prices atoms by analytic MACs only. This demo
+(a) measures the real per-block latency LUT on the current backend,
+(b) prints where FLOPs MISPRICE atoms on this hardware (the ms-per-FLOP
+mispricing factor per block), (c) prices an existing FLOPs-searched net in
+measured ms — the matched-latency budget for a cost_metric=latency run —
+and (d) after that run finishes, compares the two searched nets.
+
+    # 1. measure + price the reference net (writes {out}/lut.json etc.)
+    PYTHONPATH=/root/repo python scripts/latency_search_demo.py measure \
+        --config configs/jpeg_hard.yml \
+        --reference-run runs/ablate_hard_r3b_8mf/searched \
+        --out artifacts/latency_search_r3
+
+    # 2. run the latency-budgeted search (budget printed by step 1)
+    python -m atomnas_tpu.cli.train --config configs/jpeg_hard.yml \
+        search.cost_metric=latency search.latency_budget_ms=<ms> \
+        run.log_dir=runs/latsearch
+
+    # 3. compare
+    PYTHONPATH=/root/repo python scripts/latency_search_demo.py compare \
+        --run runs/latsearch \
+        --reference-run runs/ablate_hard_r3b_8mf/searched \
+        --out artifacts/latency_search_r3
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+
+import numpy as np
+
+
+def _final_meta(run_dir: pathlib.Path) -> dict:
+    metas = sorted(run_dir.glob("checkpoints/*/meta.json"))
+    if not metas:
+        raise FileNotFoundError(f"no checkpoints under {run_dir}")
+    return json.loads(metas[-1].read_text())
+
+
+def _net_live_counts(meta: dict, supernet) -> dict:
+    """Per-supernet-block live atom counts of a (possibly re-sliced) net.
+
+    Requires the net to have kept every supernet block (no residual block
+    fully died) so the identity index mapping holds — asserted."""
+    from atomnas_tpu.models.arch import ModelArch
+
+    arch = ModelArch.from_json(meta["arch"])
+    assert len(arch.blocks) == len(supernet.blocks), (
+        "net dropped blocks; per-block mapping to the supernet LUT is not "
+        "identity — extend this demo with the run's block_index_map history"
+    )
+    return {
+        f"block_{i}": float(sum(b.hidden))
+        for i, b in enumerate(arch.blocks)
+        if supernet.blocks[i].searchable
+    }
+
+
+def measure(args) -> None:
+    import jax
+
+    from atomnas_tpu.config import load_config
+    from atomnas_tpu.models.arch import supernet_arch
+    from atomnas_tpu.models.supernet import init_params
+    from atomnas_tpu.ops import flops as F
+    from atomnas_tpu.search import latency as latlib
+
+    cfg = load_config(args.config)
+    arch = supernet_arch(cfg.model)
+    size = cfg.model.input_size
+    params, stats = init_params(jax.random.key(cfg.run.seed), arch)
+    print(f"measuring LUT on {jax.default_backend()} "
+          f"(batch {args.batch}, {size}px)...", flush=True)
+    lut = latlib.measure_latency_lut(
+        arch, params, stats, size, batch=args.batch
+    )
+    out = pathlib.Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    (out / "lut.json").write_text(json.dumps(lut, indent=2))
+
+    # mispricing table: measured ms/atom vs analytic FLOPs/atom, per block
+    per_fl = F.atom_flops(arch, size)
+    rows = []
+    for i, b in enumerate(arch.blocks):
+        key = f"block_{i}"
+        if key not in lut["blocks"]:
+            continue
+        e = lut["blocks"][key]
+        slope = (e["ms"][-1] - e["ms"][0]) / max(e["occ"][-1] - e["occ"][0], 1)
+        rows.append({
+            "block": key, "atoms": int(b.total_hidden),
+            "mean_flops_per_atom": float(per_fl[key].mean()),
+            "ms_per_atom": slope,
+            "ms_per_mflop": slope / (per_fl[key].mean() / 1e6),
+        })
+    mean_rate = float(np.mean([r["ms_per_mflop"] for r in rows]))
+    for r in rows:
+        r["mispricing"] = r["ms_per_mflop"] / mean_rate
+    print(f"{'block':>9} {'atoms':>6} {'kFLOP/atom':>11} "
+          f"{'us/atom':>9} {'mispricing':>11}")
+    for r in rows:
+        print(f"{r['block']:>9} {r['atoms']:>6} "
+              f"{r['mean_flops_per_atom'] / 1e3:>11.2f} "
+              f"{r['ms_per_atom'] * 1e3:>9.4f} {r['mispricing']:>10.2f}x")
+
+    result = {
+        "backend": lut["backend"], "batch": args.batch,
+        "supernet_ms": latlib.supernet_ms(lut),
+        "const_ms": lut["const_ms"],
+        "blocks": rows,
+    }
+    if args.reference_run:
+        meta = _final_meta(pathlib.Path(args.reference_run))
+        counts = _net_live_counts(meta, arch)
+        ref_ms = lut["const_ms"] + sum(
+            float(np.interp(c, lut["blocks"][k]["occ"],
+                            lut["blocks"][k]["ms"]))
+            for k, c in counts.items()
+        )
+        result["reference_run"] = str(args.reference_run)
+        result["reference_net_ms"] = ref_ms
+        print(f"\nsupernet: {result['supernet_ms']:.3f} ms; "
+              f"FLOPs-searched reference net: {ref_ms:.3f} ms")
+        print(f"matched-latency budget: search.latency_budget_ms={ref_ms:.4f}")
+    (out / "pricing.json").write_text(json.dumps(result, indent=2))
+
+
+def compare(args) -> None:
+    out = pathlib.Path(args.out)
+    pricing = json.loads((out / "pricing.json").read_text())
+    lat = json.loads(
+        (pathlib.Path(args.run) / "summary.json").read_text()
+    )
+    ref = json.loads(
+        (pathlib.Path(args.reference_run) / "summary.json").read_text()
+    )
+    comparison = {
+        "flops_searched": {
+            "top1": ref["final_top1"], "mflops": ref["final_mflops"],
+            "lut_ms": pricing.get("reference_net_ms"),
+        },
+        "latency_searched": {
+            "top1": lat["final_top1"], "mflops": lat["final_mflops"],
+            "lut_ms": lat.get("final_lut_ms"),
+        },
+        "ms_budget": pricing.get("reference_net_ms"),
+    }
+    (out / "comparison.json").write_text(json.dumps(comparison, indent=2))
+    print(json.dumps(comparison, indent=2))
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+    m = sub.add_parser("measure")
+    m.add_argument("--config", default="configs/jpeg_hard.yml")
+    m.add_argument("--reference-run", default="")
+    m.add_argument("--out", default="artifacts/latency_search_r3")
+    m.add_argument("--batch", type=int, default=64)
+    m.set_defaults(fn=measure)
+    c = sub.add_parser("compare")
+    c.add_argument("--run", required=True)
+    c.add_argument("--reference-run", required=True)
+    c.add_argument("--out", default="artifacts/latency_search_r3")
+    c.set_defaults(fn=compare)
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
