@@ -130,7 +130,57 @@ def measure(args) -> None:
     (out / "pricing.json").write_text(json.dumps(result, indent=2))
 
 
+def _e2e_folded_ms(config: str, run_dir: pathlib.Path, batch: int) -> dict:
+    """Measure a finished run's final net END TO END: restore the final
+    (re-sliced) checkpoint, fold BN, jit the whole deployment forward as ONE
+    program, and time it on the current backend. Unlike the per-block LUT
+    (a pricing model with a stated composition caveat), this is the real
+    serving latency the search was optimizing for."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from atomnas_tpu.config import load_config
+    from atomnas_tpu.models.inference import fold_bn, forward_folded
+    from atomnas_tpu.ops import flops as F
+    from atomnas_tpu.ops.latency import _time_fn
+    from atomnas_tpu.train.loop import Experiment
+
+    cfg = load_config(config)
+    cfg = dataclasses.replace(
+        cfg,
+        # flops cost metric: restore must not re-measure a LUT
+        search=dataclasses.replace(cfg.search, cost_metric="flops"),
+        run=dataclasses.replace(
+            cfg.run, test_only=True, resume=False,
+            pretrained=str(run_dir / "checkpoints"),
+            log_dir=str(run_dir),
+        ),
+    )
+    exp = Experiment(cfg)
+    arch = exp.arch
+    folded = fold_bn(
+        arch,
+        jax.device_get(exp.state.params),
+        jax.device_get(exp.state.batch_stats),
+    )
+    size = cfg.model.input_size
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(batch, size, size, 3),
+                    jnp.dtype(arch.compute_dtype))
+    fn = jax.jit(lambda p, xx: forward_folded(p, xx, arch=arch))
+    ms = float(_time_fn(fn, (folded, x), iters=20))
+    return {
+        "e2e_folded_ms": ms,
+        "e2e_batch": batch,
+        "mflops": float(F.model_flops(arch, size) / 1e6),
+    }
+
+
 def compare(args) -> None:
+    import jax
+
     out = pathlib.Path(args.out)
     pricing = json.loads((out / "pricing.json").read_text())
     lat = json.loads(
@@ -149,7 +199,17 @@ def compare(args) -> None:
             "lut_ms": lat.get("final_lut_ms"),
         },
         "ms_budget": pricing.get("reference_net_ms"),
+        "backend": jax.default_backend(),
     }
+    if args.e2e_batch > 0:
+        print("measuring end-to-end folded serving latency "
+              f"(batch {args.e2e_batch})...", flush=True)
+        comparison["flops_searched"].update(_e2e_folded_ms(
+            args.config, pathlib.Path(args.reference_run), args.e2e_batch
+        ))
+        comparison["latency_searched"].update(_e2e_folded_ms(
+            args.config, pathlib.Path(args.run), args.e2e_batch
+        ))
     (out / "comparison.json").write_text(json.dumps(comparison, indent=2))
     print(json.dumps(comparison, indent=2))
 
@@ -166,7 +226,13 @@ def main(argv=None) -> None:
     c = sub.add_parser("compare")
     c.add_argument("--run", required=True)
     c.add_argument("--reference-run", required=True)
+    c.add_argument("--config", default="configs/jpeg_hard.yml")
     c.add_argument("--out", default="artifacts/latency_search_r3")
+    c.add_argument(
+        "--e2e-batch", type=int, default=64,
+        help="batch for the end-to-end folded serving-latency measurement "
+             "of both final nets (0 disables)",
+    )
     c.set_defaults(fn=compare)
     args = p.parse_args(argv)
     args.fn(args)

@@ -1,0 +1,53 @@
+#!/bin/bash
+# End-to-end latency-aware search demonstration (PARITY.md "beyond
+# reference"; search/latency.py). Every step is idempotent, so running it
+# under scripts/supervise.py makes the whole chain resumable across the
+# axon tunnel's intermittent hangs:
+#
+#   setsid nohup python scripts/supervise.py --stall 420 --attempts 8 -- \
+#       bash scripts/run_latency_search.sh > /tmp/latsearch.log 2>&1 &
+#
+# Steps: (1) FLOPs-searched reference leg (the standing jpeg_hard recipe),
+# (2) measure the per-block device-ms LUT at the train batch and price the
+# reference net in ms -> the matched-latency budget, (3) latency-budgeted
+# search run (cost_metric=latency), (4) write the comparison artifact.
+set -e
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+
+OUT=artifacts/latency_search_r3
+REF=runs/latref_15mf
+LAT=runs/latsearch_15mf
+CFG=configs/jpeg_hard.yml
+
+if [ ! -d /tmp/hardimgs/train ]; then
+  echo "[latsearch] generating /tmp/hardimgs"
+  python scripts/make_fake_imagefolder.py /tmp/hardimgs --hard \
+    --classes 100 --train-per-class 100 --val-per-class 20 --size 64
+fi
+
+if [ ! -f $REF/summary.json ]; then
+  echo "[latsearch] step 1: FLOPs-searched reference leg"
+  python -m atomnas_tpu.cli.train --config $CFG run.log_dir=$REF
+fi
+
+if [ ! -f $OUT/pricing.json ]; then
+  echo "[latsearch] step 2: measure LUT + price the reference net"
+  python scripts/latency_search_demo.py measure --config $CFG \
+    --reference-run $REF --out $OUT --batch 64
+fi
+
+BUDGET=$(python -c "import json; print(json.load(open('$OUT/pricing.json'))['reference_net_ms'])")
+echo "[latsearch] matched-latency budget: $BUDGET ms"
+
+if [ ! -f $LAT/summary.json ]; then
+  echo "[latsearch] step 3: latency-budgeted search (cost_metric=latency)"
+  python -m atomnas_tpu.cli.train --config $CFG \
+    search.cost_metric=latency search.latency_budget_ms=$BUDGET \
+    search.latency_lut_batch=64 run.log_dir=$LAT
+fi
+
+echo "[latsearch] step 4: compare"
+python scripts/latency_search_demo.py compare --run $LAT \
+  --reference-run $REF --out $OUT
+echo "[latsearch] DONE"
