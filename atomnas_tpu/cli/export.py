@@ -25,6 +25,11 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--raw-weights", action="store_true",
                    help="export raw weights instead of the EMA shadow")
+    p.add_argument("--stablehlo", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="also serialize the folded forward as a portable "
+                        "StableHLO artifact (symbolic batch, cpu+tpu "
+                        "platforms) loadable from any PJRT runtime")
     p.add_argument("overrides", nargs="*", default=[])
     args = p.parse_args(argv)
     cfg = load_config(args.config)
@@ -45,6 +50,7 @@ def main(argv=None):
         use_ema=not args.raw_weights and cfg.optim.ema_decay > 0,
         input_size=cfg.model.input_size,
         data_cfg=cfg.data,
+        stablehlo=args.stablehlo,
     )
     print(json.dumps(manifest, indent=2))
     return manifest

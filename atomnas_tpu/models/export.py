@@ -39,6 +39,7 @@ def export_deployment(
     use_ema: bool = True,
     input_size: int = 224,
     data_cfg=None,
+    stablehlo: bool = False,
 ) -> Dict[str, Any]:
     """Write a verified deployment artifact; returns its manifest."""
     from atomnas_tpu.search import shrink as shrinklib
@@ -105,8 +106,75 @@ def export_deployment(
         "num_blocks": arch.num_blocks,
         "live_atoms": arch.live_atoms(),
     }
+    if stablehlo:
+        exp = export_stablehlo(arch, folded, input_size=input_size)
+        blob = exp.serialize()
+        (out / "deployment.stablehlo").write_bytes(blob)
+        # round-trip gate: deserialize and check logits against the folded
+        # net on the verification probe (model dtype, current backend)
+        from jax import export as jexport
+
+        probe_m = probe.astype(jnp.dtype(arch.compute_dtype))
+        hlo_logits = jexport.deserialize(blob).call(probe_m)
+        ref = jax.jit(lambda f, x: forward_folded(f, x, arch=arch))(
+            folded, probe_m
+        )
+        scale_h = max(1.0, float(jnp.max(jnp.abs(ref))))
+        hlo_rel = float(jnp.max(jnp.abs(ref - hlo_logits))) / scale_h
+        if hlo_rel > 1e-3:
+            raise RuntimeError(
+                f"stablehlo round-trip verification failed: rel diff {hlo_rel}"
+            )
+        manifest["stablehlo"] = {
+            "file": "deployment.stablehlo",
+            "bytes": len(blob),
+            "platforms": list(exp.platforms),
+            "batch": "symbolic",
+            "verify_rel_diff": hlo_rel,
+        }
     (out / "export.json").write_text(json.dumps(manifest, indent=2))
     return manifest
+
+
+def export_stablehlo(
+    arch: ModelArch,
+    folded: Dict[str, Any],
+    *,
+    input_size: int,
+    batch: int | None = None,
+    platforms: Tuple[str, ...] = ("cpu", "tpu"),
+):
+    """Serialize the folded deployment forward as a StableHLO artifact.
+
+    TPU-native serving hand-off beyond the reference's raw-checkpoint flow
+    (SURVEY.md sec 3.4: releases are torch checkpoints evaluated through the
+    training code): ``jax.export`` lowers the whole folded forward — weights
+    baked in as constants — to portable StableHLO bytes that any PJRT
+    runtime (C++ or Python, CPU or TPU) can load and compile WITHOUT this
+    package or the training code. The batch dimension is symbolic by
+    default, so one artifact serves every batch size.
+    """
+    from jax import export as jexport
+
+    dtype = jnp.dtype(arch.compute_dtype)
+    folded_dev = jax.tree.map(jnp.asarray, folded)
+    fn = jax.jit(lambda x: forward_folded(folded_dev, x, arch=arch))
+    if batch is None:
+        (b,) = jexport.symbolic_shape("b")
+        shape = (b, input_size, input_size, 3)
+    else:
+        shape = (batch, input_size, input_size, 3)
+    spec = jax.ShapeDtypeStruct(shape, dtype)
+    return jexport.export(fn, platforms=list(platforms))(spec)
+
+
+def load_stablehlo(out_dir: str | pathlib.Path):
+    """Deserialize the artifact's ``deployment.stablehlo``; run via
+    ``.call(images)`` (NHWC, model dtype, any batch size)."""
+    from jax import export as jexport
+
+    blob = (pathlib.Path(out_dir) / "deployment.stablehlo").read_bytes()
+    return jexport.deserialize(blob)
 
 
 def load_deployment(

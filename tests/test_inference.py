@@ -182,3 +182,50 @@ def test_export_deployment_roundtrip(tmp_path):
     got = ff(jax.tree.map(jnp.asarray, folded), x, arch=arch2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_export_stablehlo_symbolic_batch(tmp_path):
+    """StableHLO serving artifact: export with stablehlo=True writes
+    deployment.stablehlo; deserializing the bytes reproduces the folded
+    net's logits at MULTIPLE batch sizes (the batch dim is symbolic) with
+    no dependence on this package's model code."""
+    from atomnas_tpu.models.export import (
+        export_deployment,
+        load_deployment,
+        load_stablehlo,
+    )
+    from atomnas_tpu.train.state import create_train_state
+    import optax
+
+    cfg = ModelConfig(
+        num_classes=10, input_size=16, stem_channels=8, head_channels=32,
+        compute_dtype="float32", dropout=0.0, inverted_residual_setting=TINY,
+    )
+    arch = supernet_arch(cfg)
+    params, stats = init_params(jax.random.key(0), arch)
+    masks = init_masks(arch)
+    _, stats = forward(params, stats, masks,
+                       jax.random.normal(jax.random.key(1), (8, 16, 16, 3)),
+                       arch=arch, training=True, rng=jax.random.key(2))
+    state = create_train_state(params, stats, masks, optax.sgd(0.1))
+
+    manifest = export_deployment(state, arch, tmp_path / "exp",
+                                 use_ema=False, input_size=16,
+                                 stablehlo=True)
+    info = manifest["stablehlo"]
+    assert info["verify_rel_diff"] < 1e-4
+    assert info["batch"] == "symbolic"
+    assert "cpu" in info["platforms"]
+    assert (tmp_path / "exp" / "deployment.stablehlo").stat().st_size == \
+        info["bytes"]
+
+    exp = load_stablehlo(tmp_path / "exp")
+    arch2, folded, _ = load_deployment(tmp_path / "exp")
+    folded = jax.tree.map(jnp.asarray, folded)
+    for batch in (1, 4, 7):  # symbolic batch: one artifact, any batch
+        x = jax.random.normal(jax.random.key(batch), (batch, 16, 16, 3))
+        got = np.asarray(exp.call(x))
+        ref = np.asarray(forward_folded(folded, x, arch=arch2))
+        assert got.shape == (batch, 10)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
