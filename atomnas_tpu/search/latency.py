@@ -11,12 +11,20 @@ rebuilt for this framework's in-place shrinkage:
 
 * a per-block **latency LUT** is measured ON DEVICE once at startup
   (``measure_latency_lut``): each searchable block is timed standalone at
-  several atom occupancies (branch-proportional masks), every other module
-  (stem / head / non-searchable blocks) folds into a constant;
+  several atom occupancies, each occupancy materialized as a RE-SLICED
+  block (branch-proportionally reduced hidden widths, freshly initialized
+  params — cost depends on shapes, not values); every other module
+  (stem / head / non-searchable blocks) folds into a constant. Masked
+  occupancies would be useless here: in-jit masks keep the full static
+  shapes, so a masked block costs the same at any occupancy — only
+  re-slicing changes device time (the shrinkage design's whole premise,
+  models/supernet.py). The LUT is therefore the cost surface of the net
+  you would SHIP at those masks;
 * the **live model ms** is a jit-compatible piecewise-linear interpolation
-  over per-block live-atom counts (``live_ms_tables`` + ``live_ms``), so
-  the adaptive controller can budget in milliseconds exactly the way it
-  budgets in FLOPs;
+  over per-block live-atom counts (``live_ms_tables`` + ``live_ms``) — the
+  projected post-re-slice ms of the current masks — so the adaptive
+  controller can budget in milliseconds exactly the way it budgets in
+  FLOPs (FLOPs budgeting prices the same hypothetical: the re-sliced net);
 * **per-atom prices** (``atom_ms``) split each block's measured marginal
   ms across its atoms in proportion to their analytic FLOPs — within-block
   RELATIVE cost follows the closed-form decomposition (which knows that a
@@ -25,16 +33,18 @@ rebuilt for this framework's in-place shrinkage:
   budget floor.
 
 Honest caveats (same composition caveat as ops/latency.py): blocks are
-timed as standalone jitted programs with masked (not re-sliced) shapes, so
-the LUT is a *pricing model* for search pressure, not an end-to-end step
-predictor; its block-level ordering and slopes are what matter. The LUT is
-serialized into checkpoint metadata so resume reuses the measurement, and
-re-keyed across re-slices (``rekey``) — a dropped block's intercept stays
-in the constant (slight overestimate, noted here by design).
+timed as standalone jitted programs, so the LUT excludes cross-module
+fusion and is a *pricing model* for search pressure, not an end-to-end
+step predictor; its block-level ordering and slopes are what matter. The
+LUT is serialized into checkpoint metadata so resume reuses the
+measurement, and re-keyed across re-slices (``rekey``) — a dropped block's
+intercept stays in the constant (slight overestimate, noted here by
+design).
 """
 
 from __future__ import annotations
 
+import dataclasses as _dc
 import functools
 from typing import Any, Dict, List, Tuple
 
@@ -44,25 +54,18 @@ import numpy as np
 
 from atomnas_tpu.models import layers
 from atomnas_tpu.models.arch import ModelArch
-from atomnas_tpu.models.supernet import _block_forward
+from atomnas_tpu.models.supernet import _block_forward, _init_block
 from atomnas_tpu.ops import flops as F
 from atomnas_tpu.ops.latency import _time_fn
 
 Lut = Dict[str, Any]
 
 
-def occupancy_mask(b, frac: float) -> np.ndarray:
-    """Branch-proportional occupancy: keep the leading ``ceil(frac*h)``
-    atoms of every branch (>=1 per branch so no branch degenerates).
-    Block cost depends on live COUNTS, not identities, so leading atoms
-    are as good as any."""
-    parts = []
-    for h in b.hidden:
-        n = min(h, max(1, int(round(frac * h))))
-        m = np.zeros((h,), np.float32)
-        m[:n] = 1.0
-        parts.append(m)
-    return np.concatenate(parts) if parts else np.zeros((0,), np.float32)
+def occupancy_hidden(b, frac: float) -> Tuple[int, ...]:
+    """Branch-proportional occupancy: the re-sliced per-branch hidden
+    widths at fraction ``frac`` (>=1 per branch so no branch degenerates).
+    Block cost depends on live COUNTS per branch, not atom identities."""
+    return tuple(min(h, max(1, int(round(frac * h)))) for h in b.hidden)
 
 
 def measure_latency_lut(
@@ -111,9 +114,6 @@ def measure_latency_lut(
         key = f"block_{i}"
         s_in = sizes[i][0]
         xb = jnp.asarray(rng.rand(batch, s_in, s_in, b.cin), dtype)
-        fn = jax.jit(
-            functools.partial(_block_forward, b=b, act=act, bn_kw=bn_kw)
-        )
         occ: List[float] = []
         ms: List[float] = []
         for f in fracs:
@@ -121,12 +121,20 @@ def measure_latency_lut(
                 occ.append(float(b.total_hidden))
                 ms.append(float(base[key]))  # already measured at full
                 continue
-            m = occupancy_mask(b, f)
-            occ.append(float(m.sum()))
+            # time the RE-SLICED block at this occupancy: masks keep full
+            # static shapes (a masked block costs the same at any
+            # occupancy), so the cost surface must be measured on sliced
+            # shapes — fresh params, since only shapes set device time
+            hid = occupancy_hidden(b, f)
+            bs = _dc.replace(b, hidden=hid)
+            p_f, s_f = _init_block(jax.random.key(0), bs)
+            fn = jax.jit(
+                functools.partial(_block_forward, b=bs, act=act, bn_kw=bn_kw)
+            )
+            occ.append(float(sum(hid)))
             ms.append(float(_time_fn(
                 fn,
-                (params["blocks"][i], stats["blocks"][i],
-                 jnp.asarray(m), xb),
+                (p_f, s_f, jnp.ones((sum(hid),), jnp.float32), xb),
                 iters,
             )))
         # occupancies must be strictly increasing for interp; rounding can

@@ -46,18 +46,61 @@ def synthetic_lut(arch, input_size, ms_per_flop=1e-6, const=0.5,
             "backend": "test", "blocks": blocks}
 
 
-def test_occupancy_mask_counts():
+def test_occupancy_hidden_counts():
     _, arch = tiny_arch()
     b = next(b for b in arch.blocks if b.searchable)
+    prev = 0
     for frac in (0.01, 0.25, 0.5, 1.0):
-        m = latlib.occupancy_mask(b, frac)
-        assert m.shape == (b.total_hidden,)
-        # >= 1 atom per branch, monotone in frac
-        off = 0
-        for h in b.hidden:
-            assert m[off:off + h].sum() >= 1
-            off += h
-    assert latlib.occupancy_mask(b, 1.0).sum() == b.total_hidden
+        hid = latlib.occupancy_hidden(b, frac)
+        assert len(hid) == len(b.hidden)
+        # >= 1 atom per branch, branch-capped, monotone in frac
+        assert all(1 <= h <= full for h, full in zip(hid, b.hidden))
+        assert sum(hid) >= prev
+        prev = sum(hid)
+    assert sum(latlib.occupancy_hidden(b, 1.0)) == b.total_hidden
+
+
+def test_measure_lut_times_resliced_shapes(monkeypatch):
+    """The cost surface MUST come from re-sliced shapes: in-jit masks keep
+    full static shapes, so a masked block costs the same at every occupancy
+    and a mask-based LUT would be flat (the round-3 on-chip bug: every
+    slope ~0, reference net priced == supernet). With a fake timer that
+    charges 1 unit per depthwise hidden channel, the measured LUT must be
+    linear in the SLICED atom count — proving each occupancy point really
+    ran a re-sliced block, not a masked one."""
+    import atomnas_tpu.search.latency as latmod
+    from atomnas_tpu.models.supernet import init_params
+    import jax
+
+    def fake_time_fn(fn, args, iters, warmup=3):
+        p = args[0]
+        if isinstance(p, dict) and "dw" in p:  # block: charge per atom
+            return float(sum(
+                w.shape[-1] for w in p["dw"].values()
+            ))
+        return 1.0  # stem/head constant
+
+    monkeypatch.setattr(latmod, "_time_fn", fake_time_fn)
+    # module_latency (full-occupancy base) uses its own _time_fn import
+    import atomnas_tpu.ops.latency as oplat
+    monkeypatch.setattr(oplat, "_time_fn", fake_time_fn)
+
+    cfg, arch = tiny_arch()
+    params, stats = init_params(jax.random.key(0), arch)
+    lut = latmod.measure_latency_lut(
+        arch, params, stats, cfg.model.input_size, batch=2,
+        fracs=(0.25, 0.5, 1.0), iters=1,
+    )
+    for i, b in enumerate(arch.blocks):
+        if not b.searchable:
+            continue
+        e = lut["blocks"][f"block_{i}"]
+        # fake time == live atom count at every occupancy -> slope 1 ms/atom
+        np.testing.assert_allclose(e["ms"], e["occ"], rtol=1e-6)
+    prices = latmod.atom_ms(lut, arch, cfg.model.input_size)
+    for i, b in enumerate(arch.blocks):
+        if b.searchable:
+            assert (prices[f"block_{i}"] > 0).all()
 
 
 def test_atom_ms_prices_follow_flops_within_block():
