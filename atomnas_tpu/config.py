@@ -181,6 +181,24 @@ class SearchConfig:
     latency_budget_ms: float = 0.0  # target model ms (cost_metric=latency)
     # batch size the LUT is measured at (per-block standalone forward)
     latency_lut_batch: int = 8
+    # load a previously measured LUT JSON (scripts/latency_search_demo.py
+    # measure writes one) instead of measuring at startup — keeps pricing
+    # identical across runs that share one measurement. Empty = measure.
+    # Checkpoint meta still wins on resume (the checkpointed LUT is already
+    # re-keyed across that run's re-slices).
+    latency_lut_path: str = ""
+    # Budget CEILING (NetAdapt-style enforcement, adaptive schedule): when a
+    # shrink event leaves the live cost ABOVE the ramp's current target,
+    # kill the lowest-|gamma| alive atoms until it isn't — the ramp bounds
+    # each event's kills (the target moves one increment per event), the
+    # penalty's gamma ordering decides WHICH atoms go, and landing on the
+    # budget becomes guaranteed by construction. Needed on cost surfaces
+    # with a wide per-atom price spread: the proportional controller alone
+    # stalls above budget when the cheapest atoms' penalty weights are tiny
+    # (measured on v5e: the ~60x ms/atom spread left late blocks at full
+    # capacity and a latency run 47% over its ms budget). Off by default —
+    # the flagship FLOPs recipes land with threshold+floor alone.
+    budget_ceiling: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -61,6 +61,33 @@ from atomnas_tpu.ops.latency import _time_fn
 Lut = Dict[str, Any]
 
 
+def isotonic_increasing(ys: List[float]) -> List[float]:
+    """Project a measured curve onto the nearest non-decreasing one (pool
+    adjacent violators, L2). The true cost is non-decreasing in live
+    channels — tile-padding makes it stepwise, never decreasing — and the
+    budget floor/ceiling and the adaptive controller all assume killing an
+    atom never RAISES the live cost, so measurement inversions (observed
+    through this container's tunnel) must be projected out."""
+    vals = [float(y) for y in ys]
+    wts = [1.0] * len(vals)
+    out_v: List[float] = []
+    out_w: List[float] = []
+    for v, w in zip(vals, wts):
+        out_v.append(v)
+        out_w.append(w)
+        while len(out_v) > 1 and out_v[-2] > out_v[-1]:
+            v2 = (out_v[-1] * out_w[-1] + out_v[-2] * out_w[-2]) / (
+                out_w[-1] + out_w[-2]
+            )
+            w2 = out_w[-1] + out_w[-2]
+            out_v[-2:] = [v2]
+            out_w[-2:] = [w2]
+    res: List[float] = []
+    for v, w in zip(out_v, out_w):
+        res.extend([v] * int(round(w)))
+    return res
+
+
 def occupancy_hidden(b, frac: float) -> Tuple[int, ...]:
     """Branch-proportional occupancy: the re-sliced per-branch hidden
     widths at fraction ``frac`` (>=1 per branch so no branch degenerates).
@@ -146,6 +173,9 @@ def measure_latency_lut(
             else:
                 o.append(a)
                 s.append(t)
+        # project out measurement inversions: cost is non-decreasing in
+        # live channels, and the controller/floor/ceiling depend on it
+        s = isotonic_increasing(s)
         blocks[key] = {
             "occ": o,
             "ms": s,

@@ -97,6 +97,12 @@ def update_masks(
             params, masks, new_masks, arch, floor, input_size,
             atom_costs=atom_costs, live_cost_fn=live_cost_fn,
         )
+        if cfg.budget_ceiling:
+            new_masks = _budget_ceiling(
+                params, new_masks, arch, floor, input_size,
+                cfg.min_atoms_nonresidual,
+                atom_costs=atom_costs, live_cost_fn=live_cost_fn,
+            )
     return new_masks
 
 
@@ -147,6 +153,67 @@ def _budget_floor(
         new[key][j] = 1.0
         if atom_costs is None:
             live += c  # FLOPs are linear in atoms: exact incremental update
+        else:
+            live = live_cost_fn(new)  # LUT surface is piecewise: recompute
+    return {k: jnp.asarray(v) for k, v in new.items()}
+
+
+def _budget_ceiling(
+    params: Params,
+    new_masks: Dict[str, jax.Array],
+    arch: ModelArch,
+    target: float,
+    input_size: int | None,
+    min_atoms: int,
+    atom_costs: Dict[str, np.ndarray] | None = None,
+    live_cost_fn=None,
+) -> Dict[str, jax.Array]:
+    """Enforce the ramp target from above (``cfg.budget_ceiling``): kill the
+    lowest-|gamma| ALIVE atoms — smallest BN scale = cheapest accuracy loss,
+    the same signal the threshold uses — until the live cost is <= target.
+    NetAdapt-style descent-to-schedule; each event's kills are bounded by
+    the ramp increment since the previous event. Monotone (only kills);
+    keeps >= ``min_atoms`` atoms in non-residual blocks (residual blocks
+    may die to exact identities, as with the threshold path).
+    Deterministic given gammas => replica-consistent."""
+    from atomnas_tpu.ops import flops as F
+
+    if atom_costs is None:
+        costs = F.atom_flops(arch, input_size)
+        live_cost_fn = lambda m: F.model_flops(arch, input_size, m)  # noqa: E731
+    else:
+        costs = atom_costs
+        assert live_cost_fn is not None, "atom_costs requires live_cost_fn"
+    new = {k: np.asarray(v).copy() for k, v in jax.device_get(new_masks).items()}
+    live = live_cost_fn(new)
+    if live <= target:
+        return new_masks
+    alive_counts: Dict[str, int] = {}
+    cand = []  # (|gamma|, cost, key, idx, residual) over alive atoms
+    for i, b in enumerate(arch.blocks):
+        if not b.searchable:
+            continue
+        key = f"block_{i}"
+        gamma = np.abs(
+            np.asarray(jax.device_get(params["blocks"][i]["bn2"]["scale"]),
+                       np.float32)
+        )
+        alive_counts[key] = int((new[key] > 0.5).sum())
+        for j in np.nonzero(new[key] > 0.5)[0]:
+            cand.append(
+                (float(gamma[j]), float(costs[key][j]), key, int(j),
+                 b.residual)
+            )
+    cand.sort()  # smallest |gamma| first
+    for g, c, key, j, residual in cand:
+        if live <= target:
+            break
+        if alive_counts[key] <= (0 if residual else max(min_atoms, 0)):
+            continue
+        new[key][j] = 0.0
+        alive_counts[key] -= 1
+        if atom_costs is None:
+            live -= c  # FLOPs are linear in atoms
         else:
             live = live_cost_fn(new)  # LUT surface is piecewise: recompute
     return {k: jnp.asarray(v) for k, v in new.items()}

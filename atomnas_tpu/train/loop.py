@@ -177,6 +177,15 @@ class Experiment:
                 "search.cost_metric=latency with the adaptive schedule "
                 "requires search.latency_budget_ms > 0"
             )
+        if lut is None and cfg.search.latency_lut_path:
+            lut = json.loads(
+                pathlib.Path(cfg.search.latency_lut_path).read_text()
+            )
+            self.log.info(
+                "loaded latency LUT from %s (measured on %s, batch %d)",
+                cfg.search.latency_lut_path, lut.get("backend"),
+                lut.get("batch", -1),
+            )
         if lut is None:
             t0 = time.perf_counter()
             self.log.info(

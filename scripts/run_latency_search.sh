@@ -42,8 +42,13 @@ echo "[latsearch] matched-latency budget: $BUDGET ms"
 
 if [ ! -f $LAT/summary.json ]; then
   echo "[latsearch] step 3: latency-budgeted search (cost_metric=latency)"
+  # reuse the measured LUT (identical pricing to the budget) and enforce
+  # the ramp from above: the proportional controller alone stalls over
+  # budget on the wide ms/atom spread (attempt1_no_ceiling/)
   python -m atomnas_tpu.cli.train --config $CFG \
     search.cost_metric=latency search.latency_budget_ms=$BUDGET \
+    search.latency_lut_path=$OUT/lut.json \
+    search.budget_ceiling=true \
     search.latency_lut_batch=64 run.log_dir=$LAT
 fi
 

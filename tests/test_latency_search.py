@@ -46,6 +46,17 @@ def synthetic_lut(arch, input_size, ms_per_flop=1e-6, const=0.5,
             "backend": "test", "blocks": blocks}
 
 
+def test_isotonic_increasing():
+    assert latlib.isotonic_increasing([1.0, 3.0, 2.0, 4.0]) == [1, 2.5, 2.5, 4]
+    assert latlib.isotonic_increasing([5.0, 1.0]) == [3.0, 3.0]
+    ys = [0.1, 0.2, 0.3]
+    assert latlib.isotonic_increasing(ys) == ys  # already monotone: identity
+    out = latlib.isotonic_increasing([2.0, 14.0, 8.0, 8.1, 18.7])
+    assert all(a <= b for a, b in zip(out, out[1:]))
+    # L2 projection preserves the mean
+    np.testing.assert_allclose(np.mean(out), np.mean([2.0, 14.0, 8.0, 8.1, 18.7]))
+
+
 def test_occupancy_hidden_counts():
     _, arch = tiny_arch()
     b = next(b for b in arch.blocks if b.searchable)
@@ -230,6 +241,64 @@ def test_update_masks_latency_budget_floor():
     bare_total = sum(float(np.asarray(v).sum()) for v in bare.values())
     full = sum(b.total_hidden for b in arch.blocks)
     assert bare_total < total < full
+
+
+def test_update_masks_latency_budget_ceiling():
+    """budget_ceiling on the ms surface: a threshold too low to kill
+    anything stalls above the ms target without the flag; with it, the
+    lowest-|gamma| alive atoms die (LUT recomputed per kill) until
+    live ms <= target."""
+    import dataclasses
+
+    import jax
+
+    from atomnas_tpu.models.supernet import init_params
+    from atomnas_tpu.search import shrink as shrinklib
+
+    cfg, arch = tiny_arch()
+    size = cfg.model.input_size
+    lut = synthetic_lut(arch, size)
+    params, _ = init_params(jax.random.key(0), arch)
+    masks = {
+        f"block_{i}": jnp.ones((b.total_hidden,), jnp.float32)
+        for i, b in enumerate(arch.blocks)
+    }
+    costs = latlib.atom_ms(lut, arch, size)
+    live_fn = lambda m: latlib.live_ms_host(lut, m)  # noqa: E731
+    top = latlib.supernet_ms(lut)
+    # the LUT clamps below each block's lowest measured occupancy, so the
+    # surface has an achievable minimum > const_ms; target must sit above it
+    all_dead = shrinklib.update_masks(
+        params, masks, arch,
+        dataclasses.replace(cfg.search, prune_threshold=1.5,
+                            cost_metric="latency"),
+    )
+    live_min = live_fn({k: np.asarray(v) for k, v in all_dead.items()})
+    target = 0.5 * (live_min + top)
+
+    scfg = dataclasses.replace(
+        cfg.search, prune_threshold=1e-9, cost_metric="latency",
+        latency_budget_ms=target,
+    )
+    stalled = shrinklib.update_masks(
+        params, masks, arch, scfg, budget_floor=target,
+        atom_costs=costs, live_cost_fn=live_fn,
+    )
+    np.testing.assert_allclose(
+        live_fn({k: np.asarray(v) for k, v in stalled.items()}), top,
+        rtol=1e-9,
+    )
+
+    scfg_c = dataclasses.replace(scfg, budget_ceiling=True)
+    new = shrinklib.update_masks(
+        params, masks, arch, scfg_c, budget_floor=target,
+        atom_costs=costs, live_cost_fn=live_fn,
+    )
+    live = live_fn({k: np.asarray(v) for k, v in new.items()})
+    max_atom = max(float(c.max()) for c in costs.values())
+    assert target - max_atom - 1e-6 < live <= target
+    total = sum(float(np.asarray(v).sum()) for v in new.values())
+    assert total < sum(b.total_hidden for b in arch.blocks)
 
 
 @pytest.mark.slow

@@ -171,6 +171,61 @@ def test_update_masks_budget_floor_override():
     assert ramp_target <= fl < ramp_target + max_atom, (fl, ramp_target)
 
 
+def test_update_masks_budget_ceiling():
+    """``budget_ceiling=True``: when the threshold leaves the live cost
+    ABOVE the target, the lowest-|gamma| alive atoms are killed until
+    live <= target (NetAdapt-style enforcement) — landing in
+    (target - one atom, target]. Kill order is ascending |gamma|;
+    non-residual blocks keep >= min_atoms; without the flag the update is
+    unchanged (stall above budget possible)."""
+    mcfg, arch, params, stats, masks = build()
+    params = scatter_gammas(params)
+    size = mcfg.input_size
+    # threshold that kills nothing: gammas all above it
+    cfg_inert = SearchConfig(prune_threshold=1e-9, min_atoms_nonresidual=1)
+    m_plain = shrink.update_masks(params, masks, arch, cfg_inert,
+                                  input_size=size)
+    fl_plain = F.model_flops(arch, size, jax.device_get(m_plain))
+    target = fl_plain * 0.7  # well below what the threshold reaches
+    # without the ceiling: stalls at fl_plain, above the target
+    cfg_no = SearchConfig(prune_threshold=1e-9, min_atoms_nonresidual=1,
+                          flops_budget=target)
+    m_no = shrink.update_masks(params, masks, arch, cfg_no, input_size=size)
+    assert F.model_flops(arch, size, jax.device_get(m_no)) == fl_plain
+    # with it: lands at the target from above
+    cfg = SearchConfig(prune_threshold=1e-9, min_atoms_nonresidual=1,
+                       flops_budget=target, budget_ceiling=True)
+    m = shrink.update_masks(params, masks, arch, cfg, input_size=size)
+    fl = F.model_flops(arch, size, jax.device_get(m))
+    max_atom = max(
+        float(np.max(c)) for c in F.atom_flops(arch, size).values() if c.size
+    )
+    assert target - max_atom < fl <= target, (fl, target, max_atom)
+    # kill order: every ceiling-killed gamma <= every surviving gamma
+    killed_g, alive_g = [], []
+    for i, b in enumerate(arch.blocks):
+        if not b.searchable:
+            continue
+        key = f"block_{i}"
+        g = np.abs(np.asarray(params["blocks"][i]["bn2"]["scale"]))
+        killed = np.asarray(m[key]) < 0.5
+        killed_g.extend(g[killed].tolist())
+        alive_g.extend(g[~killed].tolist())
+    assert killed_g  # the ceiling actually killed something
+    assert max(killed_g) <= min(alive_g) + 1e-12
+    # monotone: nothing revived vs the pre-ceiling masks
+    for k in m_plain:
+        assert (np.asarray(m[k]) <= np.asarray(m_plain[k]) + 1e-9).all()
+    # an extreme target cannot empty non-residual blocks below min_atoms
+    cfg_min = SearchConfig(prune_threshold=1e-9, min_atoms_nonresidual=2,
+                           flops_budget=1.0, budget_ceiling=True)
+    m_min = shrink.update_masks(params, masks, arch, cfg_min,
+                                input_size=size)
+    for i, b in enumerate(arch.blocks):
+        if b.searchable and not b.residual:
+            assert np.asarray(m_min[f"block_{i}"]).sum() >= 2
+
+
 @pytest.mark.parametrize("se", [0.0, 0.25], ids=["plain", "se"])
 def test_reslice_logits_equivalence(se):
     """THE crux: masked supernet and re-sliced compact net must produce
