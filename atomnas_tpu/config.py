@@ -133,6 +133,15 @@ class OptimConfig:
     label_smoothing: float = 0.1
     ema_decay: float = 0.9999  # 0 disables EMA
     grad_accum_steps: int = 1
+    # global-norm gradient clipping; 0 disables (the reference recipe does
+    # not clip). Applied to the grads directly in the step — NOT as an
+    # optax chain element — so enabling it on resume keeps the checkpointed
+    # optimizer-state structure valid. Recommended whenever the budget
+    # CEILING is on: ceiling events amputate trained, still-contributing
+    # atoms (unlike threshold kills, whose gammas are already ~0), and the
+    # resulting gradient shock at production lr diverged to NaN within 44
+    # steps in the first on-chip run (runs/latsearch attempt 2, round 3).
+    grad_clip_norm: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -199,6 +208,14 @@ class SearchConfig:
     # capacity and a latency run 47% over its ms budget). Off by default —
     # the flagship FLOPs recipes land with threshold+floor alone.
     budget_ceiling: bool = False
+    # per-event cap on ceiling kills, as a fraction of currently-alive
+    # atoms. Ceiling kills amputate trained atoms, and one uncapped event
+    # in the flat-cost region can take out thousands at once (the ms ramp's
+    # fixed decrement maps to ~2.5k atoms where atoms cost 0.4 us); the cap
+    # spreads the amputation across events — enforcement simply continues
+    # at later events (including after the ramp ends) until the budget is
+    # met. >= 1 disables the cap.
+    ceiling_max_kill_frac: float = 0.05
 
 
 @dataclasses.dataclass(frozen=True)

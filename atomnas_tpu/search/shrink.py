@@ -98,9 +98,18 @@ def update_masks(
             atom_costs=atom_costs, live_cost_fn=live_cost_fn,
         )
         if cfg.budget_ceiling:
+            alive_now = int(sum(
+                float(np.asarray(m).sum())
+                for m in jax.device_get(new_masks).values()
+            ))
+            max_kill = (
+                int(cfg.ceiling_max_kill_frac * alive_now)
+                if cfg.ceiling_max_kill_frac < 1.0
+                else alive_now
+            )
             new_masks = _budget_ceiling(
                 params, new_masks, arch, floor, input_size,
-                cfg.min_atoms_nonresidual,
+                cfg.min_atoms_nonresidual, max_kill=max_kill,
                 atom_costs=atom_costs, live_cost_fn=live_cost_fn,
             )
     return new_masks
@@ -165,6 +174,7 @@ def _budget_ceiling(
     target: float,
     input_size: int | None,
     min_atoms: int,
+    max_kill: int | None = None,
     atom_costs: Dict[str, np.ndarray] | None = None,
     live_cost_fn=None,
 ) -> Dict[str, jax.Array]:
@@ -205,13 +215,17 @@ def _budget_ceiling(
                  b.residual)
             )
     cand.sort()  # smallest |gamma| first
+    killed = 0
     for g, c, key, j, residual in cand:
         if live <= target:
             break
+        if max_kill is not None and killed >= max_kill:
+            break  # cap reached: later events continue the enforcement
         if alive_counts[key] <= (0 if residual else max(min_atoms, 0)):
             continue
         new[key][j] = 0.0
         alive_counts[key] -= 1
+        killed += 1
         if atom_costs is None:
             live -= c  # FLOPs are linear in atoms
         else:

@@ -215,6 +215,14 @@ def make_train_step(
             logits = logits_all.reshape((micro * accum,) + logits_all.shape[2:])
             labels = labels[: micro * accum]
 
+        if ocfg.grad_clip_norm > 0:
+            # global-norm clip on the grads themselves (not an optax chain
+            # element: the checkpointed opt-state structure stays valid when
+            # clipping is toggled on resume). Defends against the gradient
+            # shock of budget-ceiling amputations (config.py grad_clip_norm).
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, ocfg.grad_clip_norm / (gnorm + 1e-12))
+            grads = jax.tree.map(lambda g: g * scale, grads)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         if ocfg.ema_decay > 0:

@@ -45,10 +45,13 @@ if [ ! -f $LAT/summary.json ]; then
   # reuse the measured LUT (identical pricing to the budget) and enforce
   # the ramp from above: the proportional controller alone stalls over
   # budget on the wide ms/atom spread (attempt1_no_ceiling/)
+  # grad clip: ceiling events amputate trained atoms; the gradient shock
+  # diverged to NaN within 44 steps unclipped (attempt 2, config.py note)
   python -m atomnas_tpu.cli.train --config $CFG \
     search.cost_metric=latency search.latency_budget_ms=$BUDGET \
     search.latency_lut_path=$OUT/lut.json \
     search.budget_ceiling=true \
+    optim.grad_clip_norm=5.0 \
     search.latency_lut_batch=64 run.log_dir=$LAT
 fi
 

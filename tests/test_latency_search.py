@@ -289,7 +289,8 @@ def test_update_masks_latency_budget_ceiling():
         rtol=1e-9,
     )
 
-    scfg_c = dataclasses.replace(scfg, budget_ceiling=True)
+    scfg_c = dataclasses.replace(scfg, budget_ceiling=True,
+                                 ceiling_max_kill_frac=1.0)
     new = shrinklib.update_masks(
         params, masks, arch, scfg_c, budget_floor=target,
         atom_costs=costs, live_cost_fn=live_fn,

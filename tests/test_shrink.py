@@ -192,9 +192,10 @@ def test_update_masks_budget_ceiling():
                           flops_budget=target)
     m_no = shrink.update_masks(params, masks, arch, cfg_no, input_size=size)
     assert F.model_flops(arch, size, jax.device_get(m_no)) == fl_plain
-    # with it: lands at the target from above
+    # with it (uncapped): lands at the target from above
     cfg = SearchConfig(prune_threshold=1e-9, min_atoms_nonresidual=1,
-                       flops_budget=target, budget_ceiling=True)
+                       flops_budget=target, budget_ceiling=True,
+                       ceiling_max_kill_frac=1.0)
     m = shrink.update_masks(params, masks, arch, cfg, input_size=size)
     fl = F.model_flops(arch, size, jax.device_get(m))
     max_atom = max(
@@ -218,12 +219,24 @@ def test_update_masks_budget_ceiling():
         assert (np.asarray(m[k]) <= np.asarray(m_plain[k]) + 1e-9).all()
     # an extreme target cannot empty non-residual blocks below min_atoms
     cfg_min = SearchConfig(prune_threshold=1e-9, min_atoms_nonresidual=2,
-                           flops_budget=1.0, budget_ceiling=True)
+                           flops_budget=1.0, budget_ceiling=True,
+                           ceiling_max_kill_frac=1.0)
     m_min = shrink.update_masks(params, masks, arch, cfg_min,
                                 input_size=size)
     for i, b in enumerate(arch.blocks):
         if b.searchable and not b.residual:
             assert np.asarray(m_min[f"block_{i}"]).sum() >= 2
+    # kill cap: one event may amputate at most ceiling_max_kill_frac of the
+    # live atoms; the landing is then deferred to later events
+    alive0 = sum(float(np.asarray(v).sum()) for v in m_plain.values())
+    cfg_cap = SearchConfig(prune_threshold=1e-9, min_atoms_nonresidual=1,
+                           flops_budget=target, budget_ceiling=True,
+                           ceiling_max_kill_frac=0.02)
+    m_cap = shrink.update_masks(params, masks, arch, cfg_cap,
+                                input_size=size)
+    alive_cap = sum(float(np.asarray(v).sum()) for v in m_cap.values())
+    assert alive0 - alive_cap == int(0.02 * alive0)  # exactly the cap
+    assert F.model_flops(arch, size, jax.device_get(m_cap)) > target
 
 
 @pytest.mark.parametrize("se", [0.0, 0.25], ids=["plain", "se"])
