@@ -178,14 +178,25 @@ def _budget_ceiling(
     atom_costs: Dict[str, np.ndarray] | None = None,
     live_cost_fn=None,
 ) -> Dict[str, jax.Array]:
-    """Enforce the ramp target from above (``cfg.budget_ceiling``): kill the
-    lowest-|gamma| ALIVE atoms — smallest BN scale = cheapest accuracy loss,
-    the same signal the threshold uses — until the live cost is <= target.
-    NetAdapt-style descent-to-schedule; each event's kills are bounded by
-    the ramp increment since the previous event. Monotone (only kills);
-    keeps >= ``min_atoms`` atoms in non-residual blocks (residual blocks
-    may die to exact identities, as with the threshold path).
-    Deterministic given gammas => replica-consistent."""
+    """Enforce the ramp target from above (``cfg.budget_ceiling``): kill
+    alive atoms in ascending order of BLOCK-NORMALIZED |gamma| (gamma
+    divided by the median alive |gamma| of its block) until the live cost
+    is <= target. NetAdapt-style descent-to-schedule; each event's kills
+    are bounded by the ramp increment and by ``max_kill``. Monotone (only
+    kills); keeps >= ``min_atoms`` atoms in non-residual blocks (residual
+    blocks may die to exact identities, as with the threshold path).
+    Deterministic given gammas => replica-consistent.
+
+    Why normalized: raw gammas are NOT comparable across blocks once the
+    weighted penalty has been at work — blocks with expensive atoms get
+    ~10x more L1 pressure, so their whole gamma distribution sits an order
+    of magnitude lower. A raw global order then amputates exactly those
+    blocks to the min-atoms bone (measured on-chip, round 3: the stride-2
+    trunk blocks were cut to ONE channel each — survivor gamma 0.13 vs
+    0.9 medians in unpressured blocks — and accuracy collapsed to chance).
+    Normalizing by the block's own alive median makes 'weak' mean weak
+    RELATIVE TO ITS BLOCK, so a nearly-exhausted block's survivors rank as
+    important as a full block's best atoms."""
     from atomnas_tpu.ops import flops as F
 
     if atom_costs is None:
@@ -199,7 +210,7 @@ def _budget_ceiling(
     if live <= target:
         return new_masks
     alive_counts: Dict[str, int] = {}
-    cand = []  # (|gamma|, cost, key, idx, residual) over alive atoms
+    cand = []  # (normalized |gamma|, cost, key, idx, residual) over alive
     for i, b in enumerate(arch.blocks):
         if not b.searchable:
             continue
@@ -208,13 +219,17 @@ def _budget_ceiling(
             np.asarray(jax.device_get(params["blocks"][i]["bn2"]["scale"]),
                        np.float32)
         )
-        alive_counts[key] = int((new[key] > 0.5).sum())
-        for j in np.nonzero(new[key] > 0.5)[0]:
+        alive_idx = np.nonzero(new[key] > 0.5)[0]
+        alive_counts[key] = len(alive_idx)
+        if not len(alive_idx):
+            continue
+        med = float(np.median(gamma[alive_idx]))
+        for j in alive_idx:
             cand.append(
-                (float(gamma[j]), float(costs[key][j]), key, int(j),
-                 b.residual)
+                (float(gamma[j]) / max(med, 1e-12), float(costs[key][j]),
+                 key, int(j), b.residual)
             )
-    cand.sort()  # smallest |gamma| first
+    cand.sort()  # weakest RELATIVE TO ITS BLOCK first
     killed = 0
     for g, c, key, j, residual in cand:
         if live <= target:
