@@ -201,6 +201,14 @@ def compare(args) -> None:
         "ms_budget": pricing.get("reference_net_ms"),
         "backend": jax.default_backend(),
     }
+    for name, run in (("flops_retrained", args.retrain_reference),
+                      ("latency_retrained", args.retrain_run)):
+        if not run:
+            continue
+        s = json.loads((pathlib.Path(run) / "summary.json").read_text())
+        comparison[name] = {
+            "top1": s["final_top1"], "mflops": s["final_mflops"],
+        }
     if args.e2e_batch > 0:
         print("measuring end-to-end folded serving latency "
               f"(batch {args.e2e_batch})...", flush=True)
@@ -210,6 +218,12 @@ def compare(args) -> None:
         comparison["latency_searched"].update(_e2e_folded_ms(
             args.config, pathlib.Path(args.run), args.e2e_batch
         ))
+        for name, run in (("flops_retrained", args.retrain_reference),
+                          ("latency_retrained", args.retrain_run)):
+            if run:
+                comparison[name].update(_e2e_folded_ms(
+                    args.config, pathlib.Path(run), args.e2e_batch
+                ))
     (out / "comparison.json").write_text(json.dumps(comparison, indent=2))
     print(json.dumps(comparison, indent=2))
 
@@ -228,6 +242,12 @@ def main(argv=None) -> None:
     c.add_argument("--reference-run", required=True)
     c.add_argument("--config", default="configs/jpeg_hard.yml")
     c.add_argument("--out", default="artifacts/latency_search_r3")
+    c.add_argument("--retrain-run", default="",
+                   help="optional: the latency arch retrained from scratch "
+                        "(scripts/retrain_arch.py) for the architecture-vs-"
+                        "protocol comparison")
+    c.add_argument("--retrain-reference", default="",
+                   help="optional: the FLOPs arch retrained from scratch")
     c.add_argument(
         "--e2e-batch", type=int, default=64,
         help="batch for the end-to-end folded serving-latency measurement "

@@ -60,7 +60,22 @@ if [ ! -f $LAT/summary.json ]; then
     search.latency_lut_batch=64 run.log_dir=$LAT
 fi
 
-echo "[latsearch] step 4: compare"
+if [ ! -f ${LAT}_retrain/summary.json ]; then
+  echo "[latsearch] step 4a: retrain the latency-searched arch from scratch"
+  # architecture-vs-protocol control: ceiling amputations cost the search
+  # run transient accuracy; the retrained net isolates the ARCH's quality
+  python scripts/retrain_arch.py --config $CFG --from-run $LAT \
+    --out ${LAT}_retrain optim.grad_clip_norm=5.0
+fi
+
+if [ ! -f ${REF}_retrain/summary.json ]; then
+  echo "[latsearch] step 4b: retrain the FLOPs-searched arch from scratch"
+  python scripts/retrain_arch.py --config $CFG --from-run $REF \
+    --out ${REF}_retrain optim.grad_clip_norm=5.0
+fi
+
+echo "[latsearch] step 5: compare"
 python scripts/latency_search_demo.py compare --run $LAT \
-  --reference-run $REF --out $OUT
+  --reference-run $REF --retrain-run ${LAT}_retrain \
+  --retrain-reference ${REF}_retrain --out $OUT
 echo "[latsearch] DONE"
