@@ -196,6 +196,13 @@ class SearchConfig:
     # Checkpoint meta still wins on resume (the checkpointed LUT is already
     # re-keyed across that run's re-slices).
     latency_lut_path: str = ""
+    # when >0 and the LUT is measured at startup (latency_lut_path empty),
+    # fit per-block scales against this many end-to-end BN-folded probe
+    # nets (search/latency.py::calibrate_lut): the raw standalone-jit LUT
+    # carries an ARCH-DEPENDENT composition bias (measured +17.5%/-5% on
+    # the round-3 searched nets), so budgets are denominated in predicted
+    # real serving ms only after calibration.
+    latency_calibrate_probes: int = 0
     # Budget CEILING (NetAdapt-style enforcement, adaptive schedule): when a
     # shrink event leaves the live cost ABOVE the ramp's current target,
     # kill the lowest-|gamma| alive atoms until it isn't — the ramp bounds

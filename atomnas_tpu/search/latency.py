@@ -33,12 +33,17 @@ rebuilt for this framework's in-place shrinkage:
   budget floor.
 
 Honest caveats (same composition caveat as ops/latency.py): blocks are
-timed as standalone jitted programs, so the LUT excludes cross-module
+timed as standalone jitted programs, so the raw LUT excludes cross-module
 fusion and is a *pricing model* for search pressure, not an end-to-end
 step predictor; its block-level ordering and slopes are what matter. The
-LUT is serialized into checkpoint metadata so resume reuses the
-measurement, and re-keyed across re-slices (``rekey``) — a dropped block's
-intercept stays in the constant (overestimate, noted here by design).
+measured composition bias is arch-dependent (+17.5%/-5% on the round-3
+searched nets), which ``calibrate_lut`` corrects: per-block scale factors
+fitted against end-to-end BN-folded probe measurements turn the LUT into
+a predictor of the real serving ms (the quantity the budget is
+denominated in). The LUT is serialized into checkpoint metadata so resume
+reuses the measurement, and re-keyed across re-slices (``rekey``) — a
+dropped block's intercept stays in the constant (overestimate, noted here
+by design).
 
 Goodhart warning (measured, round 3): the surface clamps below each
 block's LOWEST measured occupancy, and the search optimizes straight into
@@ -273,6 +278,159 @@ def atom_ms(lut: Lut, arch: ModelArch, input_size: int) -> Dict[str, np.ndarray]
         mean_fl = float(e.get("mean_atom_flops") or (fl.mean() if fl.size else 1.0))
         out[key] = (slope * fl / max(mean_fl, 1e-30)).astype(np.float32)
     return out
+
+
+def predict_ms_host(lut: Lut, occ: Dict[str, float]) -> float:
+    """Host-side model ms at the given per-block live-atom COUNTS (the
+    occupancy-dict twin of ``live_ms_host``; calibration and pricing use
+    it because probes are described by counts, not masks)."""
+    total = lut["const_ms"]
+    for key, e in lut["blocks"].items():
+        if key not in occ:
+            continue
+        total += float(np.interp(float(occ[key]), e["occ"], e["ms"]))
+    return total
+
+
+def sliced_probe_arch(arch: ModelArch, fracs: Dict[str, float]) -> ModelArch:
+    """The re-sliced arch at branch-proportional per-block occupancy
+    fractions (searchable blocks only; same slicing rule the LUT itself is
+    measured with, so probe predictions and probe measurements describe
+    the same net)."""
+    blocks = []
+    for i, b in enumerate(arch.blocks):
+        key = f"block_{i}"
+        if b.searchable and key in fracs:
+            blocks.append(_dc.replace(b, hidden=occupancy_hidden(b, fracs[key])))
+        else:
+            blocks.append(b)
+    return _dc.replace(arch, blocks=tuple(blocks))
+
+
+def measure_arch_e2e_ms(
+    arch: ModelArch, input_size: int, batch: int, iters: int = 10,
+    seed: int = 0,
+) -> float:
+    """Whole-net BN-folded deployment forward, jitted as ONE program and
+    timed on the current backend — the real serving cost the latency budget
+    is denominated in (matches scripts/latency_search_demo.py compare)."""
+    from atomnas_tpu.models.inference import fold_bn, forward_folded
+    from atomnas_tpu.models.supernet import init_params
+
+    params, stats = init_params(jax.random.key(0), arch)
+    folded = fold_bn(arch, jax.device_get(params), jax.device_get(stats))
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.rand(batch, input_size, input_size, 3),
+                    jnp.dtype(arch.compute_dtype))
+    fn = jax.jit(functools.partial(forward_folded, arch=arch))
+    return float(_time_fn(fn, (folded, x), iters))
+
+
+_PROBE_FRACS = (0.03, 0.08, 0.2, 0.45, 0.7, 1.0)
+
+
+def calibrate_lut(
+    lut: Lut,
+    arch: ModelArch,
+    input_size: int,
+    *,
+    n_probes: int = 24,
+    iters: int = 10,
+    seed: int = 0,
+    ridge: float = 0.05,
+) -> Tuple[Lut, Dict[str, Any]]:
+    """Fit per-block scale factors so the LUT predicts END-TO-END ms.
+
+    Why (measured, round 3): per-block standalone-jit LUT entries exclude
+    cross-block fusion AND the BN fold the shipped net gets, and the
+    composition bias is arch-dependent — the v2 run priced the
+    FLOPs-searched net +17.5% over its real folded e2e ms while pricing
+    the latency-searched net -5% under, so "equal LUT ms" was actually a
+    24% real-latency gap. A single global factor cannot fix an
+    arch-dependent bias; per-block factors can, because the bias lives in
+    how much of each block's standalone cost survives fusion.
+
+    Method: measure K probe nets (re-sliced at diverse per-block
+    occupancies, BN-folded, whole-forward jitted) end-to-end; solve the
+    ridge system  min ||X s - y||^2 + ridge * ||D (s - 1)||^2  where
+    ``X[p, b]`` is block b's raw-LUT ms at probe p's occupancy (last
+    column: const_ms), y the measured e2e ms, and D the per-column scale
+    (diag of X^T X) — shrinkage toward s=1 keeps the fit well-posed at
+    small K and guarantees in-sample RSS <= the uncalibrated RSS. The
+    scales multiply each block's ms curve (isotonicity and the atom_ms
+    chord slope scale with it), so every downstream consumer — live_ms,
+    the adaptive ms target, the budget floor/ceiling, atom prices — now
+    budgets in predicted FOLDED end-to-end ms.
+    """
+    keys = list(lut["blocks"].keys())
+    rng = np.random.RandomState(seed)
+
+    # uniform profiles first (n_probes < 6 keeps the LAST ones so the
+    # full-occupancy anchor always survives), then random per-block mixes
+    profiles: List[Dict[str, float]] = []
+    for f in _PROBE_FRACS[-min(n_probes, len(_PROBE_FRACS)):]:
+        profiles.append({k: float(f) for k in keys})
+    while len(profiles) < n_probes:
+        profiles.append(
+            {k: float(rng.choice(_PROBE_FRACS)) for k in keys}
+        )
+
+    batch = int(lut["batch"])
+    rows: List[List[float]] = []
+    ys: List[float] = []
+    probe_log: List[Dict[str, Any]] = []
+    for p_i, fr in enumerate(profiles):
+        probe = sliced_probe_arch(arch, fr)
+        occ = {
+            f"block_{i}": float(b.total_hidden)
+            for i, b in enumerate(probe.blocks)
+            if f"block_{i}" in lut["blocks"]
+        }
+        row = [
+            float(np.interp(occ[k], lut["blocks"][k]["occ"],
+                            lut["blocks"][k]["ms"]))
+            for k in keys
+        ] + [float(lut["const_ms"])]
+        y = measure_arch_e2e_ms(probe, input_size, batch, iters=iters,
+                                seed=seed + p_i)
+        rows.append(row)
+        ys.append(y)
+        probe_log.append({"fracs": fr, "occ": occ,
+                          "pred_raw": float(sum(row)), "measured": y})
+
+    X = np.asarray(rows, np.float64)
+    y_v = np.asarray(ys, np.float64)
+    A = X.T @ X
+    d = np.diag(np.diag(A))
+    ones = np.ones(X.shape[1])
+    s = np.linalg.solve(A + ridge * d, X.T @ y_v + ridge * d @ ones)
+    s = np.clip(s, 0.05, 20.0)
+
+    out = dict(lut)
+    out["blocks"] = {
+        k: {**e, "ms": [float(m * s[j]) for m in e["ms"]]}
+        for j, (k, e) in enumerate(lut["blocks"].items())
+    }
+    out["const_ms"] = float(lut["const_ms"] * s[-1])
+
+    pred_raw = X @ ones
+    pred_cal = X @ s
+    for j, p in enumerate(probe_log):
+        p["pred_calibrated"] = float(pred_cal[j])
+    rmse_raw = float(np.sqrt(np.mean((pred_raw - y_v) ** 2)))
+    rmse_cal = float(np.sqrt(np.mean((pred_cal - y_v) ** 2)))
+    diag = {
+        "scales": {k: float(s[j]) for j, k in enumerate(keys)},
+        "const_scale": float(s[-1]),
+        "ridge": ridge,
+        "n_probes": len(profiles),
+        "rmse_raw_ms": rmse_raw,
+        "rmse_calibrated_ms": rmse_cal,
+        "mean_measured_ms": float(y_v.mean()),
+        "probes": probe_log,
+    }
+    out["calibration"] = {k: v for k, v in diag.items() if k != "probes"}
+    return out, diag
 
 
 def rekey(lut: Lut, block_index_map: List[int]) -> Lut:

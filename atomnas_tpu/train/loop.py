@@ -196,6 +196,17 @@ class Experiment:
                 self.arch, self.state.params, self.state.batch_stats,
                 cfg.model.input_size, batch=cfg.search.latency_lut_batch,
             )
+            if cfg.search.latency_calibrate_probes > 0:
+                lut, diag = latlib.calibrate_lut(
+                    lut, self.arch, cfg.model.input_size,
+                    n_probes=cfg.search.latency_calibrate_probes,
+                )
+                self.log.info(
+                    "LUT calibrated against %d e2e folded probes: "
+                    "probe RMSE %.3f -> %.3f ms",
+                    diag["n_probes"], diag["rmse_raw_ms"],
+                    diag["rmse_calibrated_ms"],
+                )
             self.log.info(
                 "latency LUT: const %.3f ms, supernet %.3f ms "
                 "(%d blocks, took %.1fs)",

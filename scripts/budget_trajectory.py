@@ -46,6 +46,11 @@ COMPRESS = [
     "search.penalty=0.012",
     "search.prune_threshold=1.0e-3",
     "search.shrink_interval_steps=30",
+    # the flagship configs inherit base.yml's 250-epoch budget ramp
+    # (warmup 10, ramp 115); scale it into the 14-epoch compressed
+    # schedule (x14/250) or the target never leaves the supernet
+    "search.budget_warmup_epochs=0.6",
+    "search.budget_ramp_epochs=6.5",
     "search.reslice_every_events=0",  # masks only; no mid-run recompile
     "run.ema_bn_recal_steps=5",
     "run.eval_interval_epochs=100",   # skip per-epoch eval (trajectory only)

@@ -81,6 +81,22 @@ def measure(args) -> None:
     )
     out = pathlib.Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
+    (out / "lut_raw.json").write_text(json.dumps(lut, indent=2))
+
+    if args.calibrate_probes > 0:
+        # fit per-block scales against end-to-end folded probe nets: the
+        # raw LUT's composition bias is ARCH-DEPENDENT (measured +17.5%/-5%
+        # on the v2 searched nets), so budgets priced off it are not
+        # comparable across architectures (search/latency.py docstring)
+        print(f"calibrating LUT against {args.calibrate_probes} "
+              f"end-to-end folded probes...", flush=True)
+        lut, cal_diag = latlib.calibrate_lut(
+            lut, arch, size, n_probes=args.calibrate_probes,
+        )
+        (out / "calibration.json").write_text(json.dumps(cal_diag, indent=2))
+        print(f"calibration: probe RMSE {cal_diag['rmse_raw_ms']:.3f} -> "
+              f"{cal_diag['rmse_calibrated_ms']:.3f} ms "
+              f"(mean measured {cal_diag['mean_measured_ms']:.3f} ms)")
     (out / "lut.json").write_text(json.dumps(lut, indent=2))
 
     # mispricing table: measured ms/atom vs analytic FLOPs/atom, per block
@@ -236,6 +252,11 @@ def main(argv=None) -> None:
     m.add_argument("--reference-run", default="")
     m.add_argument("--out", default="artifacts/latency_search_r3")
     m.add_argument("--batch", type=int, default=64)
+    m.add_argument(
+        "--calibrate-probes", type=int, default=28,
+        help="end-to-end folded probe nets to fit per-block LUT scales "
+             "against (0 = ship the raw standalone-jit LUT)",
+    )
     m.set_defaults(fn=measure)
     c = sub.add_parser("compare")
     c.add_argument("--run", required=True)

@@ -17,7 +17,12 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 
 OUT=artifacts/latency_search_r3
 REF=runs/latref_15mf
-LAT=runs/latsearch_15mf
+# v3: the measure step now CALIBRATES the LUT against end-to-end folded
+# probes (search/latency.py::calibrate_lut) — the budget is denominated in
+# predicted real serving ms, closing the v2 arch-dependent composition
+# bias (+17.5%/-5%). Earlier runs archived in $OUT/v1_clamped_lut and
+# $OUT/v2_extended_lut.
+LAT=runs/latsearch_15mf_v3
 CFG=configs/jpeg_hard.yml
 
 if [ ! -d /tmp/hardimgs/train ]; then
@@ -34,7 +39,7 @@ fi
 if [ ! -f $OUT/pricing.json ]; then
   echo "[latsearch] step 2: measure LUT + price the reference net"
   python scripts/latency_search_demo.py measure --config $CFG \
-    --reference-run $REF --out $OUT --batch 64
+    --reference-run $REF --out $OUT --batch 64 --calibrate-probes 28
 fi
 
 BUDGET=$(python -c "import json; print(json.load(open('$OUT/pricing.json'))['reference_net_ms'])")

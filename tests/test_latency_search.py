@@ -193,6 +193,74 @@ def test_measure_latency_lut_smoke():
     assert json.loads(json.dumps(lut)) == lut
 
 
+@pytest.mark.slow
+def test_calibrate_lut_math_and_structure():
+    """Calibration must (a) strictly improve in-sample prediction of the
+    e2e measurements (ridge-toward-1 guarantees RSS <= the uncalibrated
+    RSS), (b) preserve the structure every downstream consumer relies on
+    (monotone ms curves, positive scales, JSON round-trip), and (c) leave
+    predict_ms_host/supernet_ms consistent."""
+    import jax
+
+    from atomnas_tpu.models.supernet import init_params
+
+    cfg, arch = tiny_arch()
+    size = cfg.model.input_size
+    params, stats = init_params(jax.random.key(0), arch)
+    lut = latlib.measure_latency_lut(
+        arch, params, stats, size, batch=2, fracs=(0.25, 1.0), iters=2,
+    )
+    cal, diag = latlib.calibrate_lut(
+        lut, arch, size, n_probes=6, iters=2, seed=0,
+    )
+    # (a) in-sample improvement (tolerance for the scale clip edge case)
+    assert diag["rmse_calibrated_ms"] <= diag["rmse_raw_ms"] * 1.001
+    assert diag["n_probes"] == 6
+    assert len(diag["probes"]) == 6
+    for p in diag["probes"]:
+        assert p["measured"] > 0
+        assert p["pred_raw"] > 0 and p["pred_calibrated"] > 0
+    # (b) structure
+    assert set(cal["blocks"]) == set(lut["blocks"])
+    for k, e in cal["blocks"].items():
+        s = diag["scales"][k]
+        assert 0.05 <= s <= 20.0
+        ms = np.asarray(e["ms"])
+        assert (np.diff(ms) >= -1e-12).all()  # scaling keeps isotonicity
+        np.testing.assert_allclose(
+            ms, np.asarray(lut["blocks"][k]["ms"]) * s, rtol=1e-12
+        )
+        assert e["occ"] == lut["blocks"][k]["occ"]
+    assert cal["const_ms"] == pytest.approx(
+        lut["const_ms"] * diag["const_scale"]
+    )
+    assert json.loads(json.dumps(cal)) == cal
+    # (c) occupancy-dict pricing agrees with the mask path at full occ
+    full = {
+        f"block_{i}": float(b.total_hidden)
+        for i, b in enumerate(arch.blocks) if b.searchable
+    }
+    assert latlib.predict_ms_host(cal, full) == pytest.approx(
+        latlib.supernet_ms(cal)
+    )
+
+
+def test_sliced_probe_arch_slices_only_searchable():
+    cfg, arch = tiny_arch()
+    fracs = {
+        f"block_{i}": 0.25
+        for i, b in enumerate(arch.blocks) if b.searchable
+    }
+    probe = latlib.sliced_probe_arch(arch, fracs)
+    assert len(probe.blocks) == len(arch.blocks)
+    for i, (b0, b1) in enumerate(zip(arch.blocks, probe.blocks)):
+        if b0.searchable:
+            assert b1.hidden == latlib.occupancy_hidden(b0, 0.25)
+            assert b1.cin == b0.cin and b1.cout == b0.cout
+        else:
+            assert b1 == b0
+
+
 def test_update_masks_latency_budget_floor():
     """The floor resurrects highest-|gamma| dying atoms until live ms >=
     floor, on the LUT surface."""
