@@ -338,6 +338,7 @@ def calibrate_lut(
     iters: int = 10,
     seed: int = 0,
     ridge: float = 0.05,
+    progress: bool = True,
 ) -> Tuple[Lut, Dict[str, Any]]:
     """Fit per-block scale factors so the LUT predicts END-TO-END ms.
 
@@ -397,6 +398,11 @@ def calibrate_lut(
         ys.append(y)
         probe_log.append({"fracs": fr, "occ": occ,
                           "pred_raw": float(sum(row)), "measured": y})
+        if progress:
+            # one line per probe: long silent stretches trip the stall
+            # watchdogs every on-chip run here sits behind
+            print(f"  probe {p_i + 1}/{len(profiles)}: raw-LUT "
+                  f"{sum(row):.3f} ms, measured {y:.3f} ms", flush=True)
 
     X = np.asarray(rows, np.float64)
     y_v = np.asarray(ys, np.float64)

@@ -240,6 +240,13 @@ def compare(args) -> None:
                 comparison[name].update(_e2e_folded_ms(
                     args.config, pathlib.Path(run), args.e2e_batch
                 ))
+    # out-of-sample check of the LUT as an e2e predictor: both searched
+    # nets were never probe-measured, so pred-vs-real here is the honest
+    # calibration error (v2's raw LUT was +17.5%/-5% — arch-dependent)
+    for name in ("flops_searched", "latency_searched"):
+        e = comparison[name]
+        if e.get("lut_ms") and e.get("e2e_folded_ms"):
+            e["lut_vs_e2e"] = e["lut_ms"] / e["e2e_folded_ms"] - 1.0
     (out / "comparison.json").write_text(json.dumps(comparison, indent=2))
     print(json.dumps(comparison, indent=2))
 
