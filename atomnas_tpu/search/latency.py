@@ -363,6 +363,7 @@ def calibrate_lut(
     the adaptive ms target, the budget floor/ceiling, atom prices — now
     budgets in predicted FOLDED end-to-end ms.
     """
+    n_probes = max(1, int(n_probes))
     keys = list(lut["blocks"].keys())
     rng = np.random.RandomState(seed)
 
@@ -411,6 +412,15 @@ def calibrate_lut(
     ones = np.ones(X.shape[1])
     s = np.linalg.solve(A + ridge * d, X.T @ y_v + ridge * d @ ones)
     s = np.clip(s, 0.05, 20.0)
+    # the ridge-toward-1 guarantee (RSS(s) <= RSS(1)) holds for the
+    # UNCLIPPED minimizer; with few/noisy/collinear probes the clip can
+    # bind and break it (observed on a 4-probe CPU run) — never ship a
+    # calibration worse than no calibration
+    fell_back = bool(
+        np.sum((X @ s - y_v) ** 2) > np.sum((X @ ones - y_v) ** 2)
+    )
+    if fell_back:
+        s = ones
 
     out = dict(lut)
     out["blocks"] = {
@@ -428,6 +438,7 @@ def calibrate_lut(
     diag = {
         "scales": {k: float(s[j]) for j, k in enumerate(keys)},
         "const_scale": float(s[-1]),
+        "fell_back_to_raw": fell_back,
         "ridge": ridge,
         "n_probes": len(profiles),
         "rmse_raw_ms": rmse_raw,

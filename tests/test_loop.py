@@ -104,6 +104,32 @@ def test_search_smoke_with_reslice_and_resume(tmp_path):
     assert summary2["final_mflops"] <= summary["final_mflops"] + 1e-9
 
 
+@pytest.mark.slow
+def test_search_driver_swish_se_variant(tmp_path):
+    """The '+' variant (Swish + squeeze-excite, reference A+/B+/C+ configs
+    — SURVEY.md sec 0/sec 2.1 configs row) through the FULL driver: search,
+    real atom deaths, budget-floor landing, re-slice (SE params re-sliced
+    too), eval. Unit parity for swish+SE is pinned in test_torch_parity;
+    this covers the driver path end to end."""
+    over = {
+        "model.active_fn": "swish",
+        "model.se_ratio": 0.25,
+        "search.enabled": True,
+        "search.penalty": 0.05,
+        "search.prune_threshold": 1.5,
+        "search.flops_budget": 190000.0,
+        "search.shrink_interval_steps": 3,
+        "search.reslice_every_events": 2,
+    }
+    cfg = make_cfg(tmp_path, **over)
+    summary = train_and_eval(cfg)
+    assert summary["final_step"] == 8
+    # atoms actually died (SE supernet is ~0.2259 MF) AND landed on budget
+    assert 0.189 <= summary["final_mflops"] <= 0.21
+    run = pathlib.Path(cfg.run.log_dir)
+    assert len((run / "arch_events.jsonl").read_text().strip().splitlines()) >= 2
+
+
 def test_test_only_eval(tmp_path):
     cfg = make_cfg(tmp_path, **{"search.enabled": False})
     train_and_eval(cfg)
