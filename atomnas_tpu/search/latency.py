@@ -117,6 +117,7 @@ def measure_latency_lut(
     batch: int = 8,
     fracs: Tuple[float, ...] = (0.02, 0.05, 0.15, 0.35, 0.6, 1.0),
     iters: int = 10,
+    progress: bool = True,
 ) -> Lut:
     """Measure the per-block occupancy->ms LUT on the current backend.
 
@@ -190,6 +191,11 @@ def measure_latency_lut(
         # project out measurement inversions: cost is non-decreasing in
         # live channels, and the controller/floor/ceiling depend on it
         s = isotonic_increasing(s)
+        if progress:
+            # long silent stretches trip the stall watchdogs every on-chip
+            # run here sits behind (a healthy full measurement is minutes)
+            print(f"  lut {key}: occ {min(occ):.0f}..{max(occ):.0f} -> "
+                  f"{min(ms):.3f}..{max(ms):.3f} ms", flush=True)
         blocks[key] = {
             "occ": o,
             "ms": s,
@@ -307,23 +313,38 @@ def sliced_probe_arch(arch: ModelArch, fracs: Dict[str, float]) -> ModelArch:
     return _dc.replace(arch, blocks=tuple(blocks))
 
 
-def measure_arch_e2e_ms(
-    arch: ModelArch, input_size: int, batch: int, iters: int = 10,
-    seed: int = 0,
+def folded_forward_ms(
+    arch: ModelArch, folded: Dict[str, Any], input_size: int, batch: int,
+    iters: int = 10, seed: int = 0,
 ) -> float:
-    """Whole-net BN-folded deployment forward, jitted as ONE program and
-    timed on the current backend — the real serving cost the latency budget
-    is denominated in (matches scripts/latency_search_demo.py compare)."""
-    from atomnas_tpu.models.inference import fold_bn, forward_folded
-    from atomnas_tpu.models.supernet import init_params
+    """Time already-BN-folded params through the whole deployment forward,
+    jitted as ONE program — the single shared recipe for "real serving ms"
+    (used by the calibration probes AND scripts/latency_search_demo.py's
+    compare step, so predictions and validations share one measurement
+    protocol)."""
+    from atomnas_tpu.models.inference import forward_folded
 
-    params, stats = init_params(jax.random.key(0), arch)
-    folded = fold_bn(arch, jax.device_get(params), jax.device_get(stats))
     rng = np.random.RandomState(seed)
     x = jnp.asarray(rng.rand(batch, input_size, input_size, 3),
                     jnp.dtype(arch.compute_dtype))
     fn = jax.jit(functools.partial(forward_folded, arch=arch))
     return float(_time_fn(fn, (folded, x), iters))
+
+
+def measure_arch_e2e_ms(
+    arch: ModelArch, input_size: int, batch: int, iters: int = 10,
+    seed: int = 0,
+) -> float:
+    """Whole-net BN-folded deployment forward on FRESH params (device time
+    depends on shapes, not values) — the real serving cost the latency
+    budget is denominated in."""
+    from atomnas_tpu.models.inference import fold_bn
+    from atomnas_tpu.models.supernet import init_params
+
+    params, stats = init_params(jax.random.key(0), arch)
+    folded = fold_bn(arch, jax.device_get(params), jax.device_get(stats))
+    return folded_forward_ms(arch, folded, input_size, batch, iters=iters,
+                             seed=seed)
 
 
 _PROBE_FRACS = (0.03, 0.08, 0.2, 0.45, 0.7, 1.0)
@@ -353,15 +374,21 @@ def calibrate_lut(
 
     Method: measure K probe nets (re-sliced at diverse per-block
     occupancies, BN-folded, whole-forward jitted) end-to-end; solve the
-    ridge system  min ||X s - y||^2 + ridge * ||D (s - 1)||^2  where
+    ridge system  min ||X s - y||^2 + ridge * (s-1)^T D (s-1)  where
     ``X[p, b]`` is block b's raw-LUT ms at probe p's occupancy (last
-    column: const_ms), y the measured e2e ms, and D the per-column scale
-    (diag of X^T X) — shrinkage toward s=1 keeps the fit well-posed at
-    small K and guarantees in-sample RSS <= the uncalibrated RSS. The
-    scales multiply each block's ms curve (isotonicity and the atom_ms
-    chord slope scale with it), so every downstream consumer — live_ms,
-    the adaptive ms target, the budget floor/ceiling, atom prices — now
-    budgets in predicted FOLDED end-to-end ms.
+    column: const_ms) and D = diag(X^T X) makes the shrinkage scale-free
+    per column — shrinkage toward s=1 keeps the fit well-posed at small K
+    and guarantees in-sample RSS <= the uncalibrated RSS (enforced by an
+    explicit fallback, since the clip below can break the algebraic
+    guarantee). Block scales are clipped to [0.3, 3]: fusion/fold effects
+    are tens of percent, so a block fitted outside that band is the noise/
+    collinearity of the probe set speaking, and an unbounded scale would
+    misprice its atoms exactly like the documented v1 clamped-LUT Goodhart
+    failure; the const column absorbs the remaining global bias and gets
+    the wide band. The scales multiply each block's ms curve (isotonicity
+    and the atom_ms chord slope scale with it), so every downstream
+    consumer — live_ms, the adaptive ms target, the budget floor/ceiling,
+    atom prices — now budgets in predicted FOLDED end-to-end ms.
     """
     n_probes = max(1, int(n_probes))
     keys = list(lut["blocks"].keys())
@@ -411,7 +438,8 @@ def calibrate_lut(
     d = np.diag(np.diag(A))
     ones = np.ones(X.shape[1])
     s = np.linalg.solve(A + ridge * d, X.T @ y_v + ridge * d @ ones)
-    s = np.clip(s, 0.05, 20.0)
+    s[:-1] = np.clip(s[:-1], 0.3, 3.0)  # per-block sanity band
+    s[-1] = np.clip(s[-1], 0.05, 20.0)  # const absorbs global bias
     # the ridge-toward-1 guarantee (RSS(s) <= RSS(1)) holds for the
     # UNCLIPPED minimizer; with few/noisy/collinear probes the clip can
     # bind and break it (observed on a 4-probe CPU run) — never ship a
@@ -462,4 +490,16 @@ def rekey(lut: Lut, block_index_map: List[int]) -> Lut:
             new_blocks[f"block_{new_i}"] = old_blocks[old_key]
     out = dict(lut)
     out["blocks"] = new_blocks
+    if "calibration" in lut and "scales" in lut.get("calibration", {}):
+        # diagnostics must follow the renumbering or checkpoint meta
+        # attributes scales to the wrong blocks after a re-slice
+        old_scales = lut["calibration"]["scales"]
+        out["calibration"] = {
+            **lut["calibration"],
+            "scales": {
+                f"block_{new_i}": old_scales[f"block_{old_i}"]
+                for new_i, old_i in enumerate(block_index_map)
+                if f"block_{old_i}" in old_scales
+            },
+        }
     return out

@@ -186,6 +186,20 @@ class Experiment:
                 cfg.search.latency_lut_path, lut.get("backend"),
                 lut.get("batch", -1),
             )
+        if lut is not None and cfg.search.latency_calibrate_probes > 0:
+            # the flag only applies to a freshly measured LUT; a loaded
+            # (path/checkpoint-meta) LUT is used as-is — say so loudly when
+            # it carries no calibration, or the run silently budgets in
+            # raw standalone-jit ms while the config promises calibrated
+            self.log.warning(
+                "search.latency_calibrate_probes=%d ignored: LUT was "
+                "loaded, not measured (calibration %s). Calibrate at "
+                "measure time (scripts/latency_search_demo.py measure "
+                "--calibrate-probes) or clear latency_lut_path.",
+                cfg.search.latency_calibrate_probes,
+                "present in the loaded LUT" if "calibration" in lut
+                else "ABSENT — budgets are raw compositional ms",
+            )
         if lut is None:
             t0 = time.perf_counter()
             self.log.info(

@@ -155,12 +155,11 @@ def _e2e_folded_ms(config: str, run_dir: pathlib.Path, batch: int) -> dict:
     import dataclasses
 
     import jax
-    import jax.numpy as jnp
 
     from atomnas_tpu.config import load_config
-    from atomnas_tpu.models.inference import fold_bn, forward_folded
+    from atomnas_tpu.models.inference import fold_bn
     from atomnas_tpu.ops import flops as F
-    from atomnas_tpu.ops.latency import _time_fn
+    from atomnas_tpu.search.latency import folded_forward_ms
     from atomnas_tpu.train.loop import Experiment
 
     cfg = load_config(config)
@@ -182,11 +181,8 @@ def _e2e_folded_ms(config: str, run_dir: pathlib.Path, batch: int) -> dict:
         jax.device_get(exp.state.batch_stats),
     )
     size = cfg.model.input_size
-    rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.rand(batch, size, size, 3),
-                    jnp.dtype(arch.compute_dtype))
-    fn = jax.jit(lambda p, xx: forward_folded(p, xx, arch=arch))
-    ms = float(_time_fn(fn, (folded, x), iters=20))
+    # same timing recipe as the calibration probes (shared helper)
+    ms = folded_forward_ms(arch, folded, size, batch, iters=20)
     return {
         "e2e_folded_ms": ms,
         "e2e_batch": batch,
