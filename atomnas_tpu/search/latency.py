@@ -102,11 +102,16 @@ def isotonic_increasing(ys: List[float]) -> List[float]:
     return res
 
 
-def occupancy_hidden(b, frac: float) -> Tuple[int, ...]:
-    """Branch-proportional occupancy: the re-sliced per-branch hidden
-    widths at fraction ``frac`` (>=1 per branch so no branch degenerates).
-    Block cost depends on live COUNTS per branch, not atom identities."""
-    return tuple(min(h, max(1, int(round(frac * h)))) for h in b.hidden)
+def occupancy_hidden(b, frac) -> Tuple[int, ...]:
+    """Re-sliced per-branch hidden widths at fraction ``frac`` (>=1 per
+    branch so no branch degenerates). A scalar frac is branch-proportional;
+    a sequence gives one fraction PER KERNEL BRANCH (mix-skewed probes).
+    Block cost depends on live counts per branch, not atom identities."""
+    fr = (frac,) * len(b.hidden) if np.isscalar(frac) else tuple(frac)
+    assert len(fr) == len(b.hidden)
+    return tuple(
+        min(h, max(1, int(round(f * h)))) for f, h in zip(fr, b.hidden)
+    )
 
 
 def measure_latency_lut(
@@ -211,6 +216,13 @@ def measure_latency_lut(
         "batch": batch,
         "input_size": input_size,
         "backend": jax.default_backend(),
+        # price live nets with the branch-mix correction (below): the LUT's
+        # occupancy axis is TOTAL live atoms measured on branch-PROPORTIONAL
+        # slices, but searched nets are mix-skewed (7x7 branches die first)
+        # and cost less at the same total — measured round 3: the raw LUT
+        # priced the 11.1 ms FLOPs-searched net at 13.1 ms (+17.5%) while
+        # UNDERpricing proportional probe nets by ~10%
+        "mix_aware": True,
         "blocks": blocks,
     }
 
@@ -222,39 +234,90 @@ def supernet_ms(lut: Lut) -> float:
     )
 
 
-def live_ms_host(lut: Lut, masks: Dict[str, np.ndarray]) -> float:
-    """Host-side model ms at the given masks (shrink events, logging)."""
+def live_ms_host(
+    lut: Lut,
+    masks: Dict[str, np.ndarray],
+    per_flops: Dict[str, np.ndarray] = None,
+) -> float:
+    """Host-side model ms at the given masks (shrink events, logging).
+
+    For a mix-aware LUT the caller MUST supply ``per_flops``
+    (``ops.flops.atom_flops`` of the CURRENT arch) — pricing without the
+    branch-mix correction would silently disagree with the in-jit
+    ``live_ms`` the controller budgets with."""
+    if lut.get("mix_aware") and per_flops is None:
+        raise ValueError(
+            "mix-aware LUT requires per_flops (ops.flops.atom_flops of the "
+            "current arch) so host pricing matches the in-jit live_ms"
+        )
     total = lut["const_ms"]
     for key, e in lut["blocks"].items():
         if key not in masks:
             continue
-        live = float(np.asarray(masks[key]).sum())
-        total += float(np.interp(live, e["occ"], e["ms"]))
+        m = np.asarray(masks[key], np.float64)
+        live = float(m.sum())
+        base = float(np.interp(live, e["occ"], e["ms"]))
+        if lut.get("mix_aware") and live > 0:
+            fl = np.asarray(per_flops[key], np.float64)
+            mean_fl = float(e.get("mean_atom_flops")
+                            or (fl.mean() if fl.size else 1.0))
+            base *= float((m * fl).sum()) / (live * max(mean_fl, 1e-30))
+        total += base
     return total
 
 
-def live_ms_tables(lut: Lut) -> Tuple[Dict[str, Tuple[jnp.ndarray, jnp.ndarray]], float]:
-    """Device-ready interp tables for the in-jit live-ms metric."""
-    tables = {
-        key: (jnp.asarray(e["occ"], jnp.float32),
-              jnp.asarray(e["ms"], jnp.float32))
-        for key, e in lut["blocks"].items()
-    }
+def live_ms_tables(
+    lut: Lut, arch: ModelArch = None, input_size: int = None
+) -> Tuple[Dict[str, Tuple], float]:
+    """Device-ready interp tables for the in-jit live-ms metric.
+
+    For a mix-aware LUT, pass the CURRENT arch + input size so each block's
+    per-atom FLOPs ride along for the branch-mix correction (atoms' own
+    closed-form costs — stable across re-slices because an atom's FLOPs do
+    not depend on its siblings)."""
+    mix = bool(lut.get("mix_aware"))
+    if mix and arch is None:
+        raise ValueError("mix-aware LUT requires arch + input_size")
+    per = F.atom_flops(arch, input_size) if mix else None
+    tables: Dict[str, Tuple] = {}
+    for key, e in lut["blocks"].items():
+        occ = jnp.asarray(e["occ"], jnp.float32)
+        ms = jnp.asarray(e["ms"], jnp.float32)
+        if mix:
+            fl = jnp.asarray(per[key], jnp.float32)
+            mean_fl = float(e.get("mean_atom_flops")
+                            or (per[key].mean() if per[key].size else 1.0))
+            tables[key] = (occ, ms, fl, mean_fl)
+        else:
+            tables[key] = (occ, ms, None, None)
     return tables, float(lut["const_ms"])
 
 
 def live_ms(
-    tables: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]],
+    tables: Dict[str, Tuple],
     const_ms: float,
     masks: Dict[str, jax.Array],
 ) -> jax.Array:
-    """jit-compatible live model ms from the masks (mirrors live_ms_host)."""
+    """jit-compatible live model ms from the masks (mirrors live_ms_host).
+
+    Branch-mix correction (mix-aware tables): block ms =
+    interp(total live) * (live FLOPs share / live atom share) — the
+    occupancy curve is measured on branch-proportional slices, where the
+    factor is exactly 1; a net that kept only 3x3 atoms at the same total
+    is cheaper in proportion to the per-atom FLOPs it dropped."""
     total = jnp.asarray(const_ms, jnp.float32)
-    for key, (occ, ms) in tables.items():
+    for key, (occ, ms, fl, mean_fl) in tables.items():
         if key not in masks:
             continue
-        live = jnp.sum(masks[key]).astype(jnp.float32)
-        total = total + jnp.interp(live, occ, ms)
+        m = masks[key].astype(jnp.float32)
+        live = jnp.sum(m)
+        base = jnp.interp(live, occ, ms)
+        if fl is not None:
+            mixf = jnp.sum(m * fl) / (
+                jnp.maximum(live, 1.0) * jnp.float32(max(mean_fl, 1e-30))
+            )
+            base = base * jnp.where(live > 0, mixf, 1.0)
+        total = total + base
     return total
 
 
@@ -298,11 +361,10 @@ def predict_ms_host(lut: Lut, occ: Dict[str, float]) -> float:
     return total
 
 
-def sliced_probe_arch(arch: ModelArch, fracs: Dict[str, float]) -> ModelArch:
-    """The re-sliced arch at branch-proportional per-block occupancy
-    fractions (searchable blocks only; same slicing rule the LUT itself is
-    measured with, so probe predictions and probe measurements describe
-    the same net)."""
+def sliced_probe_arch(arch: ModelArch, fracs: Dict[str, Any]) -> ModelArch:
+    """The re-sliced arch at per-block occupancy fractions (searchable
+    blocks only; a scalar value is branch-proportional — the LUT's own
+    slicing rule — and a per-branch sequence gives a mix-skewed probe)."""
     blocks = []
     for i, b in enumerate(arch.blocks):
         key = f"block_{i}"
@@ -392,17 +454,52 @@ def calibrate_lut(
     """
     n_probes = max(1, int(n_probes))
     keys = list(lut["blocks"].keys())
+    by_key = {f"block_{i}": b for i, b in enumerate(arch.blocks)}
+    mix_aware = bool(lut.get("mix_aware"))
+    per = F.atom_flops(arch, input_size)
     rng = np.random.RandomState(seed)
 
-    # uniform profiles first (n_probes < 6 keeps the LAST ones so the
-    # full-occupancy anchor always survives), then random per-block mixes
-    profiles: List[Dict[str, float]] = []
+    # uniform branch-proportional profiles first (n_probes < 6 keeps the
+    # LAST ones so the full-occupancy anchor always survives), then
+    # alternating per-block-random and per-BRANCH-random (mix-skewed)
+    # profiles — searched nets are mix-skewed, so the fit must see probes
+    # off the proportional manifold or the mix correction goes unvalidated
+    profiles: List[Dict[str, Any]] = []
     for f in _PROBE_FRACS[-min(n_probes, len(_PROBE_FRACS)):]:
         profiles.append({k: float(f) for k in keys})
     while len(profiles) < n_probes:
-        profiles.append(
-            {k: float(rng.choice(_PROBE_FRACS)) for k in keys}
-        )
+        if len(profiles) % 2 == 0:
+            profiles.append(
+                {k: float(rng.choice(_PROBE_FRACS)) for k in keys}
+            )
+        else:
+            profiles.append({
+                k: tuple(float(rng.choice(_PROBE_FRACS))
+                         for _ in by_key[k].kernels)
+                for k in keys
+            })
+
+    def _row(probe: ModelArch) -> Tuple[List[float], Dict[str, float]]:
+        row, occ = [], {}
+        for k in keys:
+            i = int(k.split("_")[1])
+            hid = probe.blocks[i].hidden
+            t = float(sum(hid))
+            occ[k] = t
+            e = lut["blocks"][k]
+            base = float(np.interp(t, e["occ"], e["ms"]))
+            if mix_aware and t > 0:
+                full = by_key[k]
+                offs = full.splits
+                live_fl = sum(
+                    h * float(per[k][offs[j]:offs[j] + full.hidden[j]].mean())
+                    for j, h in enumerate(hid)
+                )
+                mean_fl = float(e.get("mean_atom_flops")
+                                or (per[k].mean() if per[k].size else 1.0))
+                base *= live_fl / (t * max(mean_fl, 1e-30))
+            row.append(base)
+        return row + [float(lut["const_ms"])], occ
 
     batch = int(lut["batch"])
     rows: List[List[float]] = []
@@ -410,16 +507,7 @@ def calibrate_lut(
     probe_log: List[Dict[str, Any]] = []
     for p_i, fr in enumerate(profiles):
         probe = sliced_probe_arch(arch, fr)
-        occ = {
-            f"block_{i}": float(b.total_hidden)
-            for i, b in enumerate(probe.blocks)
-            if f"block_{i}" in lut["blocks"]
-        }
-        row = [
-            float(np.interp(occ[k], lut["blocks"][k]["occ"],
-                            lut["blocks"][k]["ms"]))
-            for k in keys
-        ] + [float(lut["const_ms"])]
+        row, occ = _row(probe)
         y = measure_arch_e2e_ms(probe, input_size, batch, iters=iters,
                                 seed=seed + p_i)
         rows.append(row)
@@ -467,6 +555,7 @@ def calibrate_lut(
         "scales": {k: float(s[j]) for j, k in enumerate(keys)},
         "const_scale": float(s[-1]),
         "fell_back_to_raw": fell_back,
+        "mix_aware": mix_aware,
         "ridge": ridge,
         "n_probes": len(profiles),
         "rmse_raw_ms": rmse_raw,

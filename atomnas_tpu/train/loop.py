@@ -246,6 +246,16 @@ class Experiment:
             ]) if any(b.searchable for b in self.arch.blocks) else np.ones((1,))
             self.normalizer = float(alive.mean())
 
+    def _lut_ms(self, masks_host) -> float:
+        """Host-side live model ms under the branch-mix-aware pricing the
+        in-jit controller uses (search/latency.py::live_ms)."""
+        from atomnas_tpu.search import latency as latlib
+
+        return latlib.live_ms_host(
+            self.latency_lut, masks_host,
+            per_flops=F.atom_flops(self.arch, self.cfg.model.input_size),
+        )
+
     def _ckpt_extra(self) -> dict:
         extra = {"supernet_flops": self.supernet_flops}
         if self.latency_lut is not None:
@@ -266,7 +276,9 @@ class Experiment:
                 k: (v / self.normalizer).astype(np.float32)
                 for k, v in costs.items()
             }
-            lat_tables, lat_const = latlib.live_ms_tables(self.latency_lut)
+            lat_tables, lat_const = latlib.live_ms_tables(
+                self.latency_lut, self.arch, cfg.model.input_size
+            )
         else:
             pw, _ = penalty_weights(
                 self.arch, cfg.model.input_size, normalizer=self.normalizer,
@@ -321,12 +333,11 @@ class Experiment:
             lat_costs = latlib.atom_ms(
                 self.latency_lut, self.arch, cfg.model.input_size
             )
-            lut = self.latency_lut
             new_masks = shrinklib.update_masks(
                 self.state.params, self.state.masks, self.arch, cfg.search,
                 budget_floor=float(floor),
                 atom_costs=lat_costs,
-                live_cost_fn=lambda m: latlib.live_ms_host(lut, m),
+                live_cost_fn=self._lut_ms,
             )
         else:
             floor = budget_target(
@@ -347,9 +358,7 @@ class Experiment:
         alive = int(sum(m.sum() for m in masks_host.values()))
         arch_event = {"alive_atoms": alive, "live_mflops": live_fl / 1e6}
         if self.latency_lut is not None:
-            from atomnas_tpu.search import latency as latlib
-
-            live_ms_now = latlib.live_ms_host(self.latency_lut, masks_host)
+            live_ms_now = self._lut_ms(masks_host)
             arch_event["live_ms"] = live_ms_now
             self.log.info(
                 "shrink event %d @ step %d: %d atoms alive, %.3f ms "
@@ -677,10 +686,8 @@ class Experiment:
             **{f"final_{k}": v for k, v in last_eval.items()},
         }
         if self.latency_lut is not None:
-            from atomnas_tpu.search import latency as latlib
-
-            summary["final_lut_ms"] = latlib.live_ms_host(
-                self.latency_lut, jax.device_get(self.state.masks)
+            summary["final_lut_ms"] = self._lut_ms(
+                jax.device_get(self.state.masks)
             )
         if jax.process_index() == 0:  # master-only shared-file write
             (pathlib.Path(cfg.run.log_dir) / "summary.json").write_text(

@@ -42,7 +42,9 @@ if [ ! -f $OUT/pricing.json ]; then
     --reference-run $REF --out $OUT --batch 64 --calibrate-probes 28
 fi
 
-BUDGET=$(python -c "import json; print(json.load(open('$OUT/pricing.json'))['reference_net_ms'])")
+# budget = the reference net's MEASURED folded e2e ms (LUT pricing of a
+# branch-mix-skewed searched net is biased; see latency_search_demo.py)
+BUDGET=$(python -c "import json; p=json.load(open('$OUT/pricing.json')); print(p.get('reference_net_e2e_ms') or p['reference_net_ms'])")
 echo "[latsearch] matched-latency budget: $BUDGET ms"
 
 if [ ! -f $LAT/summary.json ]; then

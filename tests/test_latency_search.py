@@ -154,6 +154,94 @@ def test_live_ms_host_and_jit_agree():
     assert abs(latlib.live_ms_host(lut, full) - latlib.supernet_ms(lut)) < 1e-6
 
 
+def test_live_ms_branch_mix_correction():
+    """Mix-aware pricing: at the same TOTAL occupancy, a net that kept
+    only FLOPs-cheap atoms (3x3 branch) must price below the proportional
+    interp value, and one that kept only FLOPs-expensive atoms (7x7) above
+    — the occupancy curve is measured on branch-proportional slices where
+    the factor is exactly 1."""
+    import jax
+
+    cfg, arch = tiny_arch()
+    size = cfg.model.input_size
+    lut = synthetic_lut(arch, size)
+    lut["mix_aware"] = True
+    per = F.atom_flops(arch, size)
+
+    # pick a multi-branch searchable block
+    i, b = next(
+        (i, b) for i, b in enumerate(arch.blocks)
+        if b.searchable and len(b.hidden) > 1
+    )
+    key = f"block_{i}"
+    fl = per[key]
+    offs = b.splits
+    branch_mean = [fl[offs[j]:offs[j] + h].mean()
+                   for j, h in enumerate(b.hidden)]
+    cheap, dear = int(np.argmin(branch_mean)), int(np.argmax(branch_mean))
+    assert branch_mean[cheap] < branch_mean[dear]
+
+    def masks_with(branch, n):
+        m = {k: np.ones((bb.total_hidden,), np.float32)
+             for k, bb in ((f"block_{j}", bb)
+                           for j, bb in enumerate(arch.blocks))}
+        v = np.zeros((b.total_hidden,), np.float32)
+        v[offs[branch]:offs[branch] + n] = 1.0
+        m[key] = v
+        return m
+
+    n = min(b.hidden[cheap], b.hidden[dear])
+    base = float(np.interp(n, lut["blocks"][key]["occ"],
+                           lut["blocks"][key]["ms"]))
+    m_cheap = masks_with(cheap, n)
+    m_dear = masks_with(dear, n)
+    ms_cheap = latlib.live_ms_host(lut, m_cheap, per_flops=per)
+    ms_dear = latlib.live_ms_host(lut, m_dear, per_flops=per)
+    assert ms_cheap < ms_dear
+    # the block's contribution brackets the proportional interp value
+    rest_c = latlib.live_ms_host(
+        lut, {k: v for k, v in m_cheap.items() if k != key}, per_flops=per)
+    assert ms_cheap - rest_c < base < ms_dear - rest_c
+
+    # host and jit paths agree, including the mix factor
+    tables, const = latlib.live_ms_tables(lut, arch, size)
+    for m in (m_cheap, m_dear):
+        dev = float(latlib.live_ms(
+            tables, const, {k: jnp.asarray(v) for k, v in m.items()}))
+        assert abs(dev - latlib.live_ms_host(lut, m, per_flops=per)) < 1e-3
+
+    # proportional (full) masks: mix factor is exactly 1
+    full = {f"block_{j}": np.ones((bb.total_hidden,), np.float32)
+            for j, bb in enumerate(arch.blocks)}
+    no_mix = dict(lut)
+    no_mix.pop("mix_aware")
+    assert latlib.live_ms_host(lut, full, per_flops=per) == pytest.approx(
+        latlib.live_ms_host(no_mix, full), rel=1e-6
+    )
+
+    # mix-aware host pricing without per_flops must refuse (silent
+    # divergence from the in-jit controller is the failure mode)
+    with pytest.raises(ValueError):
+        latlib.live_ms_host(lut, full)
+    with pytest.raises(ValueError):
+        latlib.live_ms_tables(lut)
+
+
+def test_occupancy_hidden_per_branch_fracs():
+    _, arch = tiny_arch()
+    b = next(b for b in arch.blocks if b.searchable and len(b.hidden) > 1)
+    fr = tuple(1.0 if j == 0 else 0.01 for j in range(len(b.hidden)))
+    hid = latlib.occupancy_hidden(b, fr)
+    assert hid[0] == b.hidden[0]
+    assert all(h == 1 for h in hid[1:])
+    probe = latlib.sliced_probe_arch(
+        arch, {f"block_{i}": fr for i, bb in enumerate(arch.blocks)
+               if bb.searchable}
+    )
+    j = arch.blocks.index(b)
+    assert probe.blocks[j].hidden == hid
+
+
 def test_rekey_reindexes_and_drops():
     cfg, arch = tiny_arch()
     lut = synthetic_lut(arch, cfg.model.input_size)
