@@ -25,6 +25,10 @@ REF=runs/latref_15mf
 LAT=runs/latsearch_15mf_v3
 CFG=configs/jpeg_hard.yml
 
+# runs/ is gitignored and the container is rebuilt between sessions: pull
+# any committed leg snapshots back so the guards below skip finished legs
+python scripts/latsearch_snapshot.py restore
+
 if [ ! -d /tmp/hardimgs/train ]; then
   echo "[latsearch] generating /tmp/hardimgs"
   python scripts/make_fake_imagefolder.py /tmp/hardimgs --hard \
@@ -35,6 +39,7 @@ if [ ! -f $REF/summary.json ]; then
   echo "[latsearch] step 1: FLOPs-searched reference leg"
   python -m atomnas_tpu.cli.train --config $CFG run.log_dir=$REF
 fi
+python scripts/latsearch_snapshot.py snapshot
 
 if [ ! -f $OUT/pricing.json ]; then
   echo "[latsearch] step 2: measure LUT + price the reference net"
@@ -66,6 +71,7 @@ if [ ! -f $LAT/summary.json ]; then
     optim.grad_clip_norm=5.0 \
     search.latency_lut_batch=64 run.log_dir=$LAT
 fi
+python scripts/latsearch_snapshot.py snapshot
 
 if [ ! -f ${LAT}_retrain/summary.json ]; then
   echo "[latsearch] step 4a: retrain the latency-searched arch from scratch"
@@ -80,6 +86,7 @@ if [ ! -f ${REF}_retrain/summary.json ]; then
   python scripts/retrain_arch.py --config $CFG --from-run $REF \
     --out ${REF}_retrain optim.grad_clip_norm=5.0
 fi
+python scripts/latsearch_snapshot.py snapshot
 
 echo "[latsearch] step 5: compare"
 python scripts/latency_search_demo.py compare --run $LAT \

@@ -545,3 +545,50 @@ def test_latency_driver_end_to_end_and_resume(tmp_path):
     log_text = (run / "train.log").read_text()
     # exactly one LUT measurement across both sessions
     assert log_text.count("measuring per-block latency LUT") == 1
+
+
+def test_latsearch_snapshot_roundtrip(tmp_path):
+    """scripts/latsearch_snapshot.py: a completed leg survives runs/ loss.
+
+    The chain's durability across container rebuilds rests on this:
+    snapshot copies a finished leg's summary + FINAL checkpoint into the
+    committed artifacts tree; restore recreates runs/<leg> so the chain's
+    [ -f summary.json ] guards skip it."""
+    import importlib
+    import shutil
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "scripts"))
+    snap = importlib.import_module("latsearch_snapshot")
+
+    repo = tmp_path
+    state = tmp_path / "state"
+    leg = snap.LEGS[0]
+    run = repo / "runs" / leg
+    for step in ("00100", "00200"):
+        d = run / "checkpoints" / step
+        d.mkdir(parents=True)
+        (d / "meta.json").write_text(json.dumps({"arch": "{}", "step": step}))
+        (d / "payload.bin").write_bytes(b"x" * 16)
+    (run / "metrics_train.csv").write_text("step,loss\n1,2.0\n")
+
+    # incomplete leg (no summary) must not snapshot
+    assert snap.snapshot(repo, state) == []
+
+    (run / "summary.json").write_text(json.dumps({"final_top1": 0.5}))
+    assert snap.snapshot(repo, state) == [leg]
+    # idempotent: unchanged summary -> no re-copy
+    assert snap.snapshot(repo, state) == []
+    # only the FINAL checkpoint is kept
+    kept = sorted(p.name for p in (state / leg / "checkpoints").iterdir())
+    assert kept == ["00200"]
+
+    shutil.rmtree(run)  # the container rebuild
+    assert snap.restore(repo, state) == [leg]
+    assert json.loads((run / "summary.json").read_text()) == {
+        "final_top1": 0.5
+    }
+    assert (run / "checkpoints" / "00200" / "payload.bin").exists()
+    assert (run / "metrics_train.csv").read_text().startswith("step,loss")
+    # restore is a no-op when the run already exists
+    assert snap.restore(repo, state) == []
