@@ -70,10 +70,15 @@ def module_latency(
     input_size: int,
     batch: int = 8,
     iters: int = 10,
+    progress: bool = False,
 ) -> Dict[str, float]:
     """ms per inference forward of each module at batch size ``batch``.
 
     Keys: "stem", "block_0".., "head" (head conv + pool + classifier).
+    ``progress`` prints one line per module — a full measurement is minutes
+    of silent per-module compiles through the TPU tunnel, long enough to
+    trip the stall watchdogs every on-chip run here sits behind
+    (scripts/supervise.py).
     """
     act = layers.get_active_fn(arch.active_fn)
     dtype = jnp.dtype(arch.compute_dtype)
@@ -94,6 +99,8 @@ def module_latency(
     out["stem"] = _time_fn(
         jax.jit(stem_fn), (params["stem"], stats["stem"], x), iters
     )
+    if progress:
+        print(f"  module stem: {out['stem']:.3f} ms", flush=True)
 
     sizes = F.spatial_sizes(arch, input_size)
     for i, b in enumerate(arch.blocks):
@@ -107,6 +114,9 @@ def module_latency(
             (params["blocks"][i], stats["blocks"][i], masks[f"block_{i}"], xb),
             iters,
         )
+        if progress:
+            print(f"  module block_{i}: {out[f'block_{i}']:.3f} ms",
+                  flush=True)
 
     def head_fn(ph, sh, cl, x):
         h = layers.conv1x1(x, ph["w"])

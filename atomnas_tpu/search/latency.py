@@ -137,7 +137,8 @@ def measure_latency_lut(
         for i, b in enumerate(arch.blocks)
     }
     base = module_latency(
-        arch, params, stats, full_masks, input_size, batch=batch, iters=iters
+        arch, params, stats, full_masks, input_size, batch=batch,
+        iters=iters, progress=progress,
     )
     const_ms = base["stem"] + base["head"] + sum(
         base[f"block_{i}"]

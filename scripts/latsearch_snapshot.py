@@ -12,10 +12,16 @@ this). This helper makes each COMPLETED leg durable:
             final checkpoint dir (all downstream steps need only the last
             one: retrain_arch reads its meta.json arch,
             latency_search_demo restores it for the e2e measurement),
-            and the small metric/log streams. Prints the legs it copied;
-            idempotent (re-snapshot only when the source summary changed).
+            and the small metric/log streams. A leg that is still
+            IN FLIGHT (checkpoints but no summary.json) is snapshotted as
+            a partial — its latest checkpoint — so the next container's
+            chain auto-resumes mid-leg (cli.train run.resume) instead of
+            re-running the whole leg (~40 min of TPU each). Prints the
+            legs it copied; idempotent (re-snapshot only when the source
+            summary / latest checkpoint step changed).
   restore   recreate runs/<leg> from any snapshot whose run dir is missing
-            (run at chain start: the sh guards then skip finished legs).
+            (run at chain start: the sh guards skip finished legs and
+            cli.train resumes partial ones from the restored checkpoint).
 
 The snapshots are committed to git by the session driving the chain —
 this script only stages the files on disk.
@@ -54,29 +60,45 @@ def snapshot(repo: pathlib.Path = REPO, state: pathlib.Path = None) -> list:
     for leg in LEGS:
         run = repo / "runs" / leg
         summary = run / "summary.json"
-        if not summary.exists():
-            continue
         dst = state / leg
         dst_summary = dst / "summary.json"
-        if dst_summary.exists() and filecmp.cmp(
-            summary, dst_summary, shallow=False
-        ):
-            continue  # already snapshotted this completion
         ckpt = _final_ckpt(run)
-        if ckpt is None:
-            print(f"[snapshot] {leg}: summary but no checkpoint — skipped")
-            continue
+        if summary.exists():
+            if dst_summary.exists() and filecmp.cmp(
+                summary, dst_summary, shallow=False
+            ):
+                continue  # already snapshotted this completion
+            if ckpt is None:
+                print(f"[snapshot] {leg}: summary but no checkpoint — "
+                      "skipped")
+                continue
+            kind = "final"
+        else:
+            # in-flight leg: persist the latest checkpoint so the next
+            # container's chain resumes mid-leg rather than restarting
+            if ckpt is None:
+                continue
+            prev = _final_ckpt(dst)
+            if (
+                prev is not None
+                and not dst_summary.exists()
+                and prev.name >= ckpt.name
+            ):
+                continue  # already snapshotted this (or a later) step
+            kind = "partial"
         if dst.exists():
             shutil.rmtree(dst)
         (dst / "checkpoints").mkdir(parents=True)
         shutil.copytree(ckpt, dst / "checkpoints" / ckpt.name)
-        shutil.copy2(summary, dst_summary)
+        if summary.exists():
+            shutil.copy2(summary, dst_summary)
         for name in AUX:
             src = run / name
             if src.exists():
                 shutil.copy2(src, dst / name)
         copied.append(leg)
-        print(f"[snapshot] {leg}: checkpoint {ckpt.name} + summary -> {dst}")
+        print(f"[snapshot] {leg}: {kind} checkpoint {ckpt.name}"
+              f"{' + summary' if summary.exists() else ''} -> {dst}")
     return copied
 
 
@@ -86,10 +108,11 @@ def restore(repo: pathlib.Path = REPO, state: pathlib.Path = None) -> list:
     for leg in LEGS:
         src = state / leg
         run = repo / "runs" / leg
-        if not (src / "summary.json").exists() or (
-            run / "summary.json"
-        ).exists():
-            continue
+        has_final = (src / "summary.json").exists()
+        if not (has_final or _final_ckpt(src) is not None):
+            continue  # no snapshot for this leg
+        if (run / "summary.json").exists() or _final_ckpt(run) is not None:
+            continue  # live run state present — never clobber it
         run.mkdir(parents=True, exist_ok=True)
         for item in src.iterdir():
             dst = run / item.name
@@ -99,9 +122,13 @@ def restore(repo: pathlib.Path = REPO, state: pathlib.Path = None) -> list:
             else:
                 shutil.copy2(item, dst)
         restored.append(leg)
-        s = json.loads((src / "summary.json").read_text())
-        print(f"[restore] {leg}: final_top1={s.get('final_top1')} "
-              f"final_mflops={s.get('final_mflops')}")
+        if has_final:
+            s = json.loads((src / "summary.json").read_text())
+            print(f"[restore] {leg}: final_top1={s.get('final_top1')} "
+                  f"final_mflops={s.get('final_mflops')}")
+        else:
+            ck = _final_ckpt(src)
+            print(f"[restore] {leg}: partial (resume from {ck.name})")
     return restored
 
 

@@ -572,23 +572,49 @@ def test_latsearch_snapshot_roundtrip(tmp_path):
         (d / "payload.bin").write_bytes(b"x" * 16)
     (run / "metrics_train.csv").write_text("step,loss\n1,2.0\n")
 
-    # incomplete leg (no summary) must not snapshot
+    # in-flight leg (checkpoints, no summary): snapshotted as a PARTIAL so
+    # the next container resumes mid-leg instead of re-running it
+    assert snap.snapshot(repo, state) == [leg]
+    assert not (state / leg / "summary.json").exists()
+    kept = sorted(p.name for p in (state / leg / "checkpoints").iterdir())
+    assert kept == ["00200"]  # only the latest checkpoint
+    # idempotent: no newer checkpoint -> no re-copy
     assert snap.snapshot(repo, state) == []
+    # a newer checkpoint refreshes the partial
+    d = run / "checkpoints" / "00300"
+    d.mkdir(parents=True)
+    (d / "meta.json").write_text(json.dumps({"arch": "{}", "step": "00300"}))
+    (d / "payload.bin").write_bytes(b"y" * 16)
+    assert snap.snapshot(repo, state) == [leg]
+    kept = sorted(p.name for p in (state / leg / "checkpoints").iterdir())
+    assert kept == ["00300"]
+
+    # partial restore: the rebuilt container resumes from the checkpoint
+    run2 = repo / "runs2"
+    shutil.move(run, run2)  # simulate rebuild, keep source for later
+    assert snap.restore(repo, state) == [leg]
+    assert not (run / "summary.json").exists()
+    assert (run / "checkpoints" / "00300" / "payload.bin").exists()
+    # restore never clobbers live run state (checkpoints present)
+    assert snap.restore(repo, state) == []
+    shutil.rmtree(run)
+    shutil.move(run2, run)
 
     (run / "summary.json").write_text(json.dumps({"final_top1": 0.5}))
+    # completion replaces the partial snapshot with the final one
     assert snap.snapshot(repo, state) == [leg]
     # idempotent: unchanged summary -> no re-copy
     assert snap.snapshot(repo, state) == []
     # only the FINAL checkpoint is kept
     kept = sorted(p.name for p in (state / leg / "checkpoints").iterdir())
-    assert kept == ["00200"]
+    assert kept == ["00300"]
 
     shutil.rmtree(run)  # the container rebuild
     assert snap.restore(repo, state) == [leg]
     assert json.loads((run / "summary.json").read_text()) == {
         "final_top1": 0.5
     }
-    assert (run / "checkpoints" / "00200" / "payload.bin").exists()
+    assert (run / "checkpoints" / "00300" / "payload.bin").exists()
     assert (run / "metrics_train.csv").read_text().startswith("step,loss")
     # restore is a no-op when the run already exists
     assert snap.restore(repo, state) == []
