@@ -423,6 +423,7 @@ def calibrate_lut(
     seed: int = 0,
     ridge: float = 0.05,
     progress: bool = True,
+    cache_path: str | None = None,
 ) -> Tuple[Lut, Dict[str, Any]]:
     """Fit per-block scale factors so the LUT predicts END-TO-END ms.
 
@@ -502,15 +503,47 @@ def calibrate_lut(
             row.append(base)
         return row + [float(lut["const_ms"])], occ
 
+    # probe measurements are the expensive part (~2 min each on-chip: a
+    # fresh init + fold + whole-net compile per probe) and a killed
+    # calibration otherwise restarts from zero — the container this runs in
+    # is rebuilt between sessions. The cache is append-only JSONL keyed by
+    # everything the measurement depends on (profile, batch, size, seed,
+    # backend); profiles are RNG-deterministic in ``seed`` so reruns hit it.
+    import json as _json
+    import pathlib as _pl
+
+    cache: Dict[str, float] = {}
+    cache_file = _pl.Path(cache_path) if cache_path else None
+    if cache_file is not None and cache_file.exists():
+        for line in cache_file.read_text().splitlines():
+            if line.strip():
+                rec = _json.loads(line)
+                cache[rec["key"]] = float(rec["ms"])
+
     batch = int(lut["batch"])
+
+    def _probe_key(fr: Dict[str, Any], p_i: int) -> str:
+        return _json.dumps(
+            [fr, batch, input_size, seed + p_i, iters,
+             jax.default_backend()],
+            sort_keys=True,
+        )
+
     rows: List[List[float]] = []
     ys: List[float] = []
     probe_log: List[Dict[str, Any]] = []
     for p_i, fr in enumerate(profiles):
         probe = sliced_probe_arch(arch, fr)
         row, occ = _row(probe)
-        y = measure_arch_e2e_ms(probe, input_size, batch, iters=iters,
-                                seed=seed + p_i)
+        key = _probe_key(fr, p_i)
+        if key in cache:
+            y = cache[key]
+        else:
+            y = measure_arch_e2e_ms(probe, input_size, batch, iters=iters,
+                                    seed=seed + p_i)
+            if cache_file is not None:
+                with cache_file.open("a") as f:
+                    f.write(_json.dumps({"key": key, "ms": y}) + "\n")
         rows.append(row)
         ys.append(y)
         probe_log.append({"fracs": fr, "occ": occ,

@@ -73,15 +73,33 @@ def measure(args) -> None:
     cfg = load_config(args.config)
     arch = supernet_arch(cfg.model)
     size = cfg.model.input_size
-    params, stats = init_params(jax.random.key(cfg.run.seed), arch)
-    print(f"measuring LUT on {jax.default_backend()} "
-          f"(batch {args.batch}, {size}px)...", flush=True)
-    lut = latlib.measure_latency_lut(
-        arch, params, stats, size, batch=args.batch
-    )
     out = pathlib.Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
-    (out / "lut_raw.json").write_text(json.dumps(lut, indent=2))
+
+    # this step is ~12 min of LUT timing + ~2 min per calibration probe on
+    # chip, and the container is rebuilt between sessions — resume from the
+    # committed raw LUT (re-measured values match within noise, verified
+    # round 3) and the append-only probe cache instead of starting over
+    raw_path = out / "lut_raw.json"
+    lut = None
+    if raw_path.exists():
+        prev = json.loads(raw_path.read_text())
+        if (
+            prev.get("backend") == jax.default_backend()
+            and prev.get("batch") == args.batch
+            and prev.get("input_size") == size
+            and prev.get("mix_aware")
+        ):
+            print(f"reusing raw LUT from {raw_path}", flush=True)
+            lut = prev
+    if lut is None:
+        params, stats = init_params(jax.random.key(cfg.run.seed), arch)
+        print(f"measuring LUT on {jax.default_backend()} "
+              f"(batch {args.batch}, {size}px)...", flush=True)
+        lut = latlib.measure_latency_lut(
+            arch, params, stats, size, batch=args.batch
+        )
+        raw_path.write_text(json.dumps(lut, indent=2))
 
     if args.calibrate_probes > 0:
         # fit per-block scales against end-to-end folded probe nets: the
@@ -92,6 +110,7 @@ def measure(args) -> None:
               f"end-to-end folded probes...", flush=True)
         lut, cal_diag = latlib.calibrate_lut(
             lut, arch, size, n_probes=args.calibrate_probes,
+            cache_path=str(out / "probe_cache.jsonl"),
         )
         (out / "calibration.json").write_text(json.dumps(cal_diag, indent=2))
         print(f"calibration: probe RMSE {cal_diag['rmse_raw_ms']:.3f} -> "
