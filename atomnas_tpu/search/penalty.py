@@ -89,6 +89,12 @@ def budget_target(
     """
     if budget is None:
         budget = scfg.flops_budget
+    if budget is None or budget <= 0:
+        # no budget configured (e.g. fixed-rho configs that inherit
+        # base.yml's ramp defaults): there is no target — returning 0
+        # disables the shrink-event floor/ceiling (update_masks guards on
+        # floor > 0) instead of ramping toward a nonsensical 0-cost net
+        return 0.0
     if scfg.budget_ramp_epochs <= 0:
         return float(budget)
     w = scfg.budget_warmup_epochs * steps_per_epoch

@@ -98,9 +98,15 @@ def update_masks(
             atom_costs=atom_costs, live_cost_fn=live_cost_fn,
         )
         if cfg.budget_ceiling:
+            # base the kill cap on KILLABLE atoms only: non-searchable
+            # blocks' all-ones masks can never die, so counting them would
+            # let one event amputate a larger fraction of the searchable
+            # population than ceiling_max_kill_frac promises
+            masks_host = jax.device_get(new_masks)
             alive_now = int(sum(
-                float(np.asarray(m).sum())
-                for m in jax.device_get(new_masks).values()
+                float(np.asarray(masks_host[f"block_{i}"]).sum())
+                for i, b in enumerate(arch.blocks)
+                if b.searchable
             ))
             max_kill = (
                 int(cfg.ceiling_max_kill_frac * alive_now)
@@ -125,12 +131,19 @@ def _budget_floor(
     atom_costs: Dict[str, np.ndarray] | None = None,
     live_cost_fn=None,
 ) -> Dict[str, jax.Array]:
-    """Spare the highest-|gamma| atoms dying THIS event until the live cost
-    stays >= ``floor``. Runs host-side (shrink events are outside jit);
-    only atoms alive before the event are candidates, so monotonicity
-    is preserved. Cost surface: analytic FLOPs by default; per-atom
-    ``atom_costs`` + ``live_cost_fn(masks)->cost`` when given (latency
-    mode)."""
+    """Spare the atoms dying THIS event with the highest BLOCK-NORMALIZED
+    |gamma| (gamma over the block's pre-event alive median) until the live
+    cost stays >= ``floor``. Runs host-side (shrink events are outside
+    jit); only atoms alive before the event are candidates, so
+    monotonicity is preserved. Cost surface: analytic FLOPs by default;
+    per-atom ``atom_costs`` + ``live_cost_fn(masks)->cost`` when given
+    (latency mode).
+
+    Normalized for the same reason as ``_budget_ceiling``: raw gammas are
+    not comparable across blocks once the weighted penalty has skewed the
+    per-block scales ~10x — a raw global revive order would systematically
+    resurrect atoms from unpressured (cheap) blocks and leave the
+    pressured expensive blocks' near-survivors dead."""
     from atomnas_tpu.ops import flops as F
 
     if atom_costs is None:
@@ -153,9 +166,14 @@ def _budget_floor(
             np.asarray(jax.device_get(params["blocks"][i]["bn2"]["scale"]),
                        np.float32)
         )
+        pre_alive = np.nonzero(old[key] > 0.5)[0]
+        med = float(np.median(gamma[pre_alive])) if len(pre_alive) else 1.0
         for j in np.nonzero((old[key] > 0.5) & (new[key] < 0.5))[0]:
-            dying.append((float(gamma[j]), float(costs[key][j]), key, int(j)))
-    dying.sort(reverse=True)  # largest |gamma| first: closest to surviving
+            dying.append((float(gamma[j]) / max(med, 1e-12),
+                          float(costs[key][j]), key, int(j)))
+    # largest normalized |gamma| first: closest to surviving RELATIVE TO
+    # ITS BLOCK (see _budget_ceiling's normalization rationale)
+    dying.sort(reverse=True)
     for g, c, key, j in dying:
         if live >= floor:
             break

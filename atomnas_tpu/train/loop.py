@@ -60,7 +60,12 @@ class Experiment:
         # sec 3.1); a stale config number silently miscalibrates the LR
         # schedule, epoch semantics and eval/ckpt cadence, so adopt the
         # real count loudly when they disagree by more than one batch.
-        actual = pipeline.actual_train_examples(cfg.data)
+        # test_only never reads the train split (an eval-only host may not
+        # even have one), so the cross-check must not touch it there.
+        actual = (
+            None if cfg.run.test_only
+            else pipeline.actual_train_examples(cfg.data)
+        )
         if (
             actual is not None
             and abs(actual - cfg.data.train_examples) > cfg.data.batch_size
@@ -251,9 +256,17 @@ class Experiment:
         in-jit controller uses (search/latency.py::live_ms)."""
         from atomnas_tpu.search import latency as latlib
 
+        # the floor/ceiling call this once per killed/revived atom within
+        # one shrink event; cache the per-atom FLOPs table per arch (it
+        # only changes at re-slice) so an event is O(kills), not
+        # O(kills x atoms) host work on the single core
+        if getattr(self, "_atom_flops_arch", None) is not self.arch:
+            self._atom_flops_cache = F.atom_flops(
+                self.arch, self.cfg.model.input_size
+            )
+            self._atom_flops_arch = self.arch
         return latlib.live_ms_host(
-            self.latency_lut, masks_host,
-            per_flops=F.atom_flops(self.arch, self.cfg.model.input_size),
+            self.latency_lut, masks_host, per_flops=self._atom_flops_cache
         )
 
     def _ckpt_extra(self) -> dict:

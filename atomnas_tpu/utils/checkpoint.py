@@ -95,6 +95,21 @@ def latest_step(ckpt_dir: str | pathlib.Path) -> Optional[int]:
     return steps[-1] if steps else None
 
 
+def final_checkpoint_dir(run_dir: str | pathlib.Path) -> Optional[pathlib.Path]:
+    """Latest complete checkpoint dir under ``<run_dir>/checkpoints``.
+
+    The single lookup shared by the post-run tools (retrain_arch,
+    latency_search_demo) that need a finished run's final arch/state.
+    Step dirs are zero-padded (``_step_dir``), so lexicographic order is
+    numeric order. (scripts/latsearch_snapshot.py keeps a local copy of
+    this one-liner on purpose: it runs every few minutes from a watcher
+    and must not pay this module's jax/orbax import.)"""
+    step = latest_step(pathlib.Path(run_dir) / "checkpoints")
+    if step is None:
+        return None
+    return _step_dir(pathlib.Path(run_dir) / "checkpoints", step)
+
+
 def restore_checkpoint(
     ckpt_dir: str | pathlib.Path,
     tx: optax.GradientTransformation,

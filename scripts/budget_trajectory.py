@@ -98,56 +98,41 @@ def run_one(config_path: str, out_dir: pathlib.Path, extra: list) -> dict:
         "end_mflops": end,
         "end_over_budget": (end / budget - 1.0) if end else None,
     }
-    print(f"[trajectory] {cfg.name}: {start:.1f} -> {end:.1f} MF "
-          f"(budget {budget:.0f}, {row['end_over_budget']:+.1%} of budget)")
+    if traj:
+        print(f"[trajectory] {cfg.name}: {start:.1f} -> {end:.1f} MF "
+              f"(budget {budget:.0f}, {row['end_over_budget']:+.1%} of budget)")
+    else:
+        # no shrink event fired in the compressed window (e.g. overrides
+        # left every gamma above threshold) — report it instead of crashing
+        # after the full on-chip run and burning a supervisor retry
+        print(f"[trajectory] {cfg.name}: NO shrink events in window "
+              f"(budget {budget:.0f} MF)")
     (log_dir / "row.json").write_text(json.dumps(row, indent=2))
     return row
 
 
 def _supervised(config_path: str, out: pathlib.Path, overrides: list,
                 attempts: int = 3, stall_s: float = 300.0) -> dict:
-    """Run one config in a child with a stall watchdog + retry: the TPU
-    tunnel in this container intermittently hangs on the first big
-    compile/transfer (blocked on network, ~0 CPU output) — same pattern as
-    bench.py's supervisor."""
+    """Run one config under scripts/supervise.py's stall watchdog + retry
+    (the TPU tunnel intermittently hangs on the first big compile/transfer,
+    blocked on network with no output). A trajectory run is not resumable,
+    so each attempt starts from a fresh run dir via the reset hook."""
     import os
     import shutil
-    import subprocess
     import sys
-    import time
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from supervise import supervise
 
     name = pathlib.Path(config_path).stem
-    for attempt in range(1, attempts + 1):
-        shutil.rmtree(out / name, ignore_errors=True)  # fresh trajectory
-        child = subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--single",
-             config_path, "--out", str(out)] + overrides,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            env=dict(os.environ),
-        )
-        os.set_blocking(child.stdout.fileno(), False)
-        last = time.monotonic()
-        while True:
-            rc = child.poll()
-            chunk = child.stdout.read()
-            if chunk:
-                sys.stdout.buffer.write(chunk)
-                sys.stdout.flush()
-                last = time.monotonic()
-            if rc is not None:
-                break
-            if time.monotonic() - last > stall_s:
-                print(f"[trajectory] {name} attempt {attempt} stalled "
-                      f">{stall_s:.0f}s (tunnel hang); killing and retrying")
-                child.kill()
-                child.wait()
-                rc = None
-                break
-            time.sleep(1.0)
-        if rc == 0:
-            return json.loads((out / name / "row.json").read_text())
-        if rc is not None:
-            print(f"[trajectory] {name} attempt {attempt} exited rc={rc}")
+    rc = supervise(
+        [sys.executable, os.path.abspath(__file__), "--single",
+         config_path, "--out", str(out)] + overrides,
+        stall_s, attempts,
+        reset=lambda: shutil.rmtree(out / name, ignore_errors=True),
+    )
+    if rc == 0:
+        return json.loads((out / name / "row.json").read_text())
     raise RuntimeError(f"{config_path}: all {attempts} attempts failed")
 
 

@@ -36,10 +36,12 @@ import numpy as np
 
 
 def _final_meta(run_dir: pathlib.Path) -> dict:
-    metas = sorted(run_dir.glob("checkpoints/*/meta.json"))
-    if not metas:
+    from atomnas_tpu.utils.checkpoint import final_checkpoint_dir
+
+    d = final_checkpoint_dir(run_dir)
+    if d is None:
         raise FileNotFoundError(f"no checkpoints under {run_dir}")
-    return json.loads(metas[-1].read_text())
+    return json.loads((d / "meta.json").read_text())
 
 
 def _net_live_counts(meta: dict, supernet) -> dict:

@@ -50,6 +50,10 @@ AUX = ("metrics_train.csv", "metrics_eval.csv", "arch_events.jsonl",
 
 
 def _final_ckpt(run_dir: pathlib.Path) -> pathlib.Path | None:
+    # deliberate local copy of utils/checkpoint.py::final_checkpoint_dir:
+    # this script runs every few minutes from a watcher and must not pay
+    # that module's jax/orbax import (step dirs are zero-padded, so
+    # lexicographic order is numeric order)
     metas = sorted(run_dir.glob("checkpoints/*/meta.json"))
     return metas[-1].parent if metas else None
 

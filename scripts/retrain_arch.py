@@ -27,10 +27,12 @@ import pathlib
 
 
 def _final_arch_json(run_dir: pathlib.Path) -> str:
-    metas = sorted(run_dir.glob("checkpoints/*/meta.json"))
-    if not metas:
+    from atomnas_tpu.utils.checkpoint import final_checkpoint_dir
+
+    d = final_checkpoint_dir(run_dir)
+    if d is None:
         raise FileNotFoundError(f"no checkpoints under {run_dir}")
-    return json.loads(metas[-1].read_text())["arch"]
+    return json.loads((d / "meta.json").read_text())["arch"]
 
 
 def main(argv=None):

@@ -78,9 +78,14 @@ def collect_collectives(hlo_text: str) -> dict:
     for line in hlo_text.splitlines():
         stripped = line.strip()
         for kind in _COLLECTIVES:
-            # result-type = everything between '=' and the op name
-            m = re.match(rf"[%\w.\-]+\s*=\s*(.+?)\s{kind}\(", stripped)
-            if m and "-start" not in stripped.split("=")[0]:
+            # result-type = everything between '=' and the op name. XLA may
+            # emit a collective either sync (`all-reduce(`) or as an async
+            # pair (`all-reduce-start(` / `all-reduce-done(`); count the
+            # -done half, whose result type is the collective's real output
+            # shape (the -start result is a bundle of operand/result
+            # buffers and would overcount).
+            m = re.match(rf"[%\w.\-]+\s*=\s*(.+?)\s{kind}(-done)?\(", stripped)
+            if m:
                 out[kind]["count"] += 1
                 out[kind]["bytes"] += shape_bytes(m.group(1))
                 break

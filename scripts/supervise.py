@@ -21,11 +21,36 @@ import sys
 import time
 
 
-def supervise(cmd: list, stall_s: float, attempts: int) -> int:
+def _kill_tree(child: subprocess.Popen) -> None:
+    """SIGKILL the child's whole process group, not just the child.
+
+    The documented usage wraps a shell (`-- bash scripts/...sh`) that spawns
+    python grandchildren; killing only the direct child would leave a hung
+    cli.train holding the TPU tunnel and its log_dir, and the retry would
+    then start a SECOND trainer writing the same checkpoint dir. The child
+    is launched with ``start_new_session=True`` so its pgid covers the whole
+    tree and never includes this supervisor."""
+    import signal
+
+    try:
+        os.killpg(child.pid, signal.SIGKILL)
+    except (ProcessLookupError, PermissionError):
+        child.kill()
+    child.wait()
+
+
+def supervise(cmd: list, stall_s: float, attempts: int, reset=None) -> int:
+    """Run ``cmd`` with a stall watchdog, retrying up to ``attempts`` times.
+
+    ``reset``, if given, is called before every attempt — for children that
+    are NOT resumable and need a fresh workdir per try
+    (scripts/budget_trajectory.py deletes the partial trajectory)."""
     for attempt in range(1, attempts + 1):
+        if reset is not None:
+            reset()
         child = subprocess.Popen(
             cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            env=dict(os.environ),
+            env=dict(os.environ), start_new_session=True,
         )
         os.set_blocking(child.stdout.fileno(), False)
         last = time.monotonic()
@@ -41,8 +66,7 @@ def supervise(cmd: list, stall_s: float, attempts: int) -> int:
             if time.monotonic() - last > stall_s:
                 print(f"[supervise] attempt {attempt} stalled "
                       f">{stall_s:.0f}s; killing and retrying", flush=True)
-                child.kill()
-                child.wait()
+                _kill_tree(child)
                 rc = None
                 break
             time.sleep(1.0)

@@ -1,6 +1,8 @@
 """Auxiliary subsystems: grad accumulation, HLO cost cross-check, replica
 consistency assertion, meters/metric writer, checkpoint GC."""
 
+import pathlib
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -174,3 +176,26 @@ def test_checkpoint_gc(tmp_path):
     restored, arch2, meta = C.restore_checkpoint(tmp_path, tx)
     assert int(restored.step) == 4
     assert arch2.blocks == arch.blocks
+
+
+def test_scaling_projection_counts_async_collectives():
+    """collect_collectives must see a collective whether XLA emits it sync
+    (`all-reduce(`) or as an async pair — counting the -done half exactly
+    once, with the real output shape (round-3 review finding: async pairs
+    were silently counted as 0 bytes)."""
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "scripts"))
+    from scaling_projection import collect_collectives
+
+    hlo = "\n".join([
+        "%ar = f32[128,64] all-reduce(f32[128,64] %x), replica_groups={}",
+        "%ars = (f32[128,64], f32[128,64]) all-reduce-start("
+        "f32[128,64] %y), replica_groups={}",
+        "%ard = f32[128,64] all-reduce-done((f32[128,64], f32[128,64]) %ars)",
+        "%ag = f32[256,64] all-gather(f32[128,64] %z), dimensions={0}",
+    ])
+    out = collect_collectives(hlo)
+    assert out["all-reduce"]["count"] == 2  # sync + async (-done only)
+    assert out["all-reduce"]["bytes"] == 2 * 128 * 64 * 4
+    assert out["all-gather"]["count"] == 1

@@ -143,6 +143,27 @@ def test_test_only_eval(tmp_path):
     assert "top1" in metrics and metrics["eval_examples"] == 24
 
 
+def test_test_only_eval_without_train_split(tmp_path):
+    """An eval-only host may have no train/ directory at all; test_only
+    must skip the dataset-size cross-check (which reads the train split)
+    instead of crashing at Experiment init (round-3 review finding)."""
+    from tests.test_data import _write_imagefolder
+
+    cfg = make_cfg(tmp_path, **{"search.enabled": False})
+    train_and_eval(cfg)
+    eval_root = tmp_path / "val_only_dataset"
+    _write_imagefolder(eval_root, "val", classes=10, per_class=1, size=16)
+    d = json.loads(json.dumps(TINY))
+    d["run"]["log_dir"] = str(tmp_path / "eval_only_run")
+    d["run"]["test_only"] = True
+    d["run"]["pretrained"] = str(pathlib.Path(cfg.run.log_dir) / "checkpoints")
+    d["search"] = {"enabled": False}
+    d["data"].update(dataset="imagefolder", root=str(eval_root),
+                     eval_examples=10)
+    metrics = train_and_eval(config_from_dict(d))
+    assert "top1" in metrics and metrics["eval_examples"] == 10
+
+
 @pytest.mark.slow
 def test_sigterm_checkpoints_and_exits(tmp_path):
     """Preemption handling: SIGTERM mid-training saves a checkpoint and

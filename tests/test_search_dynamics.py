@@ -110,6 +110,13 @@ def test_budget_target_ramp_schedule():
     f = jax.jit(lambda s: budget_target(scfg, full, s, spe))
     for st in (0, 20, 60, 100, 7777):
         assert float(f(jnp.asarray(st))) == budget_target(scfg, full, st, spe)
+    # NO budget configured (flops_budget left at its 0.0 default, e.g. a
+    # fixed-rho config inheriting base.yml's ramp) => target is 0, which
+    # disables the shrink-event floor/ceiling instead of ramping the net
+    # toward a nonsensical 0-cost target
+    nobudget = dataclasses.replace(scfg, flops_budget=0.0)
+    assert budget_target(nobudget, full, 60, spe) == 0.0
+    assert budget_target(nobudget, full, 10_000, spe) == 0.0
 
 
 def test_adaptive_ramp_no_pressure_before_warmup():

@@ -121,21 +121,28 @@ def test_update_masks_budget_floor():
         float(np.max(c)) for c in F.atom_flops(arch, size).values() if c.size
     )
     assert budget <= fl < budget + max_atom, (fl, budget, max_atom)
-    # the spared atoms are the highest-|gamma| of the would-be dying set
+    # the spared atoms are the highest BLOCK-NORMALIZED |gamma| of the
+    # would-be dying set (gamma over the block's pre-event alive median —
+    # raw gammas are not comparable across blocks once the weighted
+    # penalty skews per-block scales; see _budget_floor/_budget_ceiling)
     spared, killed_g = [], []
     for i, b in enumerate(arch.blocks):
         if not b.searchable:
             continue
         key = f"block_{i}"
         g = np.abs(np.asarray(params["blocks"][i]["bn2"]["scale"]))
+        pre_alive = np.asarray(masks[key]) > 0.5
+        med = np.median(g[pre_alive]) if pre_alive.any() else 1.0
+        gn = g / max(float(med), 1e-12)
         died_nf = np.asarray(m_nofloor[key]) < 0.5
         alive_f = np.asarray(m[key]) > 0.5
-        spared.extend(g[died_nf & alive_f].tolist())
-        killed_g.extend(g[died_nf & ~alive_f].tolist())
+        spared.extend(gn[died_nf & alive_f].tolist())
+        killed_g.extend(gn[died_nf & ~alive_f].tolist())
     assert spared  # the floor actually revived something
-    # every spared gamma >= every killed gamma (global greedy order),
-    # modulo atoms force-kept by the min-atoms floor (none here: threshold
-    # leaves >=1 alive per non-residual block in this fixture)
+    # every spared normalized gamma >= every killed normalized gamma
+    # (global greedy order on the normalized score), modulo atoms
+    # force-kept by the min-atoms floor (none here: threshold leaves >=1
+    # alive per non-residual block in this fixture)
     assert min(spared) >= max(killed_g) - 1e-12
     # above budget: floor inert, masks identical to the plain update
     cfg_hi = SearchConfig(prune_threshold=0.15, min_atoms_nonresidual=1,
