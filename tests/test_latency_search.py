@@ -618,3 +618,51 @@ def test_latsearch_snapshot_roundtrip(tmp_path):
     assert (run / "metrics_train.csv").read_text().startswith("step,loss")
     # restore is a no-op when the run already exists
     assert snap.restore(repo, state) == []
+
+
+def test_net_masks_maps_resliced_net_onto_supernet():
+    """scripts/latency_search_demo._net_masks: a re-sliced net's per-branch
+    occupancies map back onto supernet masks with branches matched by
+    KERNEL SIZE (re-slice drops fully-dead branches, so positional mapping
+    would misattribute occupancy), and the mix-aware LUT price of those
+    masks equals the price of the same occupancies — the contract the
+    matched-latency budget is denominated in."""
+    import dataclasses
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "scripts"))
+    from latency_search_demo import _net_masks
+
+    cfg, arch = tiny_arch()
+    # build a "re-sliced" net: block with kernels [3,5,7] -> keep only
+    # [3,7] (the 5x5 branch fully died), with uneven survivor counts
+    blocks = []
+    for b in arch.blocks:
+        if b.searchable and len(b.kernels) >= 2:
+            keep_k = [b.kernels[0], b.kernels[-1]]
+            per = [max(1, b.hidden[0] // 2), max(1, b.hidden[-1] // 3)]
+            blocks.append(dataclasses.replace(
+                b, kernels=tuple(keep_k), hidden=tuple(per)))
+        else:
+            blocks.append(b)
+    net = dataclasses.replace(arch, blocks=tuple(blocks))
+    meta = {"arch": net.to_json()}
+    masks = _net_masks(meta, arch)
+    size = cfg.model.input_size
+    per_fl = F.atom_flops(arch, size)
+    for i, (sb, rb) in enumerate(zip(arch.blocks, net.blocks)):
+        m = masks[f"block_{i}"]
+        assert m.shape == (sb.total_hidden,)
+        if not sb.searchable:
+            assert m.sum() == sb.total_hidden
+            continue
+        # per-branch occupancy lands in the right kernel's segment
+        offs = list(sb.splits) + [sb.total_hidden]
+        by_k = dict(zip(rb.kernels, rb.hidden))
+        for j, k in enumerate(sb.kernels):
+            seg = m[offs[j]:offs[j + 1]]
+            assert seg.sum() == by_k.get(k, 0)
+    # pricing the masks = pricing the occupancies (same surface)
+    lut = synthetic_lut(arch, size)
+    got = latlib.live_ms_host(lut, masks, per_flops=per_fl)
+    assert np.isfinite(got) and got > lut["const_ms"]
