@@ -166,8 +166,18 @@ def _budget_floor(
             np.asarray(jax.device_get(params["blocks"][i]["bn2"]["scale"]),
                        np.float32)
         )
-        pre_alive = np.nonzero(old[key] > 0.5)[0]
-        med = float(np.median(gamma[pre_alive])) if len(pre_alive) else 1.0
+        # normalize by the POST-event survivors' median — the same "block
+        # scale" population _budget_ceiling uses — so floor-revive and
+        # ceiling-kill rank on one notion of block-relative strength. The
+        # pre-event population includes this event's sub-threshold dying
+        # mass, which deflates the median exactly in hard-hit blocks and
+        # inflates their dying atoms' revive priority. Fall back to the
+        # pre-event alive median only when a block has no survivors.
+        post_alive = np.nonzero(new[key] > 0.5)[0]
+        norm_pop = post_alive
+        if not len(norm_pop):
+            norm_pop = np.nonzero(old[key] > 0.5)[0]
+        med = float(np.median(gamma[norm_pop])) if len(norm_pop) else 1.0
         for j in np.nonzero((old[key] > 0.5) & (new[key] < 0.5))[0]:
             dying.append((float(gamma[j]) / max(med, 1e-12),
                           float(costs[key][j]), key, int(j)))

@@ -124,7 +124,13 @@ def _supervised(config_path: str, out: pathlib.Path, overrides: list,
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from supervise import supervise
 
-    name = pathlib.Path(config_path).stem
+    # run_one writes under cfg.name (post-overrides), NOT the config's
+    # filename stem — derive the run dir the same way, or the reset hook
+    # deletes nothing (stale non-resumable state survives retries) and the
+    # row.json read misses for any config whose name differs from its stem
+    cfg = load_config(config_path)
+    cfg = parse_argv_overrides(cfg, COMPRESS + list(overrides))
+    name = cfg.name
     rc = supervise(
         [sys.executable, os.path.abspath(__file__), "--single",
          config_path, "--out", str(out)] + overrides,

@@ -165,11 +165,25 @@ def measure(args) -> None:
                 cal_lut, ref_masks, per_flops=per_fl)
         choice = min(prices, key=lambda k: abs(prices[k] - e2e_ms))
         lut = raw_lut if choice == "raw" else cal_lut
+        # n=1 selection: when both candidates price the reference net
+        # within timing noise of each other, a re-run of measure could
+        # flip the shipped LUT (and hence the budget) discontinuously —
+        # record the margin and flag near-ties instead of choosing
+        # silently (tunnel min-of-3 timings still wobble ~0.2 ms).
+        errs = sorted(abs(v - e2e_ms) for v in prices.values())
+        margin_ms = errs[1] - errs[0] if len(errs) > 1 else float("inf")
+        near_tie = margin_ms < 0.25
+        if near_tie:
+            print(f"WARNING: raw-vs-calibrated LUT choice is a near-tie "
+                  f"(margin {margin_ms:.3f} ms < 0.25 ms noise band); a "
+                  f"re-run of measure may flip the shipped pricing surface")
         ref_keys = {
             "reference_run": str(args.reference_run),
             "reference_net_model_ms": prices[choice],
             "reference_net_model_ms_by_lut": prices,
             "lut_choice": choice,
+            "lut_choice_margin_ms": margin_ms,
+            "lut_choice_near_tie": near_tie,
             "reference_net_e2e_ms": e2e_ms,
             "reference_net_mflops": e2e["mflops"],
         }

@@ -51,7 +51,15 @@ fi
 # the controller optimizes that surface, so the budget must be denominated
 # in it — see latency_search_demo.py measure for the raw-vs-calibrated
 # choice and the unit-mismatch postmortem
-BUDGET=$(python -c "import json; p=json.load(open('$OUT/pricing.json')); print(p['reference_net_model_ms'])")
+BUDGET=$(python -c "
+import json, sys
+p = json.load(open('$OUT/pricing.json'))
+if 'reference_net_model_ms' not in p:
+    sys.exit('[latsearch] $OUT/pricing.json has no reference_net_model_ms '
+             '(old-schema or partially written artifact, keys: '
+             + ','.join(sorted(p)) + '); delete pricing.json and re-run '
+             'the measure step')
+print(p['reference_net_model_ms'])")
 echo "[latsearch] matched-latency budget: $BUDGET ms"
 
 if [ ! -f $LAT/summary.json ]; then

@@ -122,9 +122,10 @@ def test_update_masks_budget_floor():
     )
     assert budget <= fl < budget + max_atom, (fl, budget, max_atom)
     # the spared atoms are the highest BLOCK-NORMALIZED |gamma| of the
-    # would-be dying set (gamma over the block's pre-event alive median —
-    # raw gammas are not comparable across blocks once the weighted
-    # penalty skews per-block scales; see _budget_floor/_budget_ceiling)
+    # would-be dying set (gamma over the block's POST-event survivors'
+    # median — the same population _budget_ceiling normalizes by; raw
+    # gammas are not comparable across blocks once the weighted penalty
+    # skews per-block scales; see _budget_floor/_budget_ceiling)
     spared, killed_g = [], []
     for i, b in enumerate(arch.blocks):
         if not b.searchable:
@@ -132,7 +133,9 @@ def test_update_masks_budget_floor():
         key = f"block_{i}"
         g = np.abs(np.asarray(params["blocks"][i]["bn2"]["scale"]))
         pre_alive = np.asarray(masks[key]) > 0.5
-        med = np.median(g[pre_alive]) if pre_alive.any() else 1.0
+        post_alive = np.asarray(m_nofloor[key]) > 0.5
+        norm_pop = post_alive if post_alive.any() else pre_alive
+        med = np.median(g[norm_pop]) if norm_pop.any() else 1.0
         gn = g / max(float(med), 1e-12)
         died_nf = np.asarray(m_nofloor[key]) < 0.5
         alive_f = np.asarray(m[key]) > 0.5
