@@ -86,21 +86,29 @@ def run_one(config_path: str, out_dir: pathlib.Path, extra: list) -> dict:
         {"step": e["step"], "live_mflops": e["live_mflops"]}
         for e in events
     ]
-    budget = cfg.search.flops_budget / 1e6
+    budget = (cfg.search.flops_budget or 0.0) / 1e6
     start = traj[0]["live_mflops"] if traj else None
     end = traj[-1]["live_mflops"] if traj else None
     row = {
         "config": config_path,
         "budget_mflops": budget,
         "supernet_mflops": supernet_mf,
+        "rho": cfg.search.penalty,
+        "penalty_schedule": cfg.search.penalty_schedule,
         "events": traj,
         "start_mflops": start,
         "end_mflops": end,
-        "end_over_budget": (end / budget - 1.0) if end else None,
+        # budget <= 0 = paper-faithful fixed-rho mode: no target, the
+        # landing FLOPs is a function of rho alone (no floor/ceiling)
+        "end_over_budget": (end / budget - 1.0) if end and budget > 0
+        else None,
     }
-    if traj:
+    if traj and budget > 0:
         print(f"[trajectory] {cfg.name}: {start:.1f} -> {end:.1f} MF "
               f"(budget {budget:.0f}, {row['end_over_budget']:+.1%} of budget)")
+    elif traj:
+        print(f"[trajectory] {cfg.name}: {start:.1f} -> {end:.1f} MF "
+              f"(fixed rho={cfg.search.penalty:g}, no budget target)")
     else:
         # no shrink event fired in the compressed window (e.g. overrides
         # left every gamma above threshold) — report it instead of crashing

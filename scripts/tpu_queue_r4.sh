@@ -26,4 +26,35 @@ else
     log "job 1: done (runs/seed_rob_16mf/seed_robustness.json)"
 fi
 
+# ---- job 2: "+"-variant (Swish+SE) search quality (VERDICT item 3) -------
+# Full 3-leg ablation in plus mode at the tight 8 MF budget: searched vs
+# matched-FLOPs uniform (also Swish+SE) vs random subnet. Compare against
+# the plain rows in artifacts/ablation_r3/r3b_8mf/ablation.json
+# (0.9685 / 0.959 / 0.748).
+if [ ! -f runs/ablate_plus_8mf/ablation.json ]; then
+    log "job 2: plus-variant (Swish+SE) ablation @ 8 MF"
+    python scripts/ablate_search.py \
+        --config configs/jpeg_hard_plus.yml --out runs/ablate_plus_8mf
+else
+    log "job 2: done (runs/ablate_plus_8mf/ablation.json)"
+fi
+
+# ---- job 3: fixed-rho landing evidence (VERDICT item 5) -------------------
+# Paper-faithful mechanism: constant rho, NO budget target (flops_budget=0
+# disables the floor/ceiling), threshold kills only. Three rho values on
+# the compressed atomnas_a schedule show the rho -> landing-FLOPs dial the
+# reference tunes per budget.
+for RHO in 0.006 0.012 0.024; do
+    D=artifacts/fixed_rho_r4/rho_${RHO}
+    if [ ! -f $D/trajectory.json ]; then
+        log "job 3: fixed-rho trajectory rho=$RHO"
+        python scripts/budget_trajectory.py --out $D \
+            --configs configs/atomnas_a.yml --attempts 6 \
+            search.penalty_schedule=fixed search.penalty=$RHO \
+            search.flops_budget=0
+    else
+        log "job 3 rho=$RHO: done ($D/trajectory.json)"
+    fi
+done
+
 log "queue complete"
