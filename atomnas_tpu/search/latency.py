@@ -424,6 +424,8 @@ def calibrate_lut(
     ridge: float = 0.05,
     progress: bool = True,
     cache_path: str | None = None,
+    target_ms: float | None = None,
+    group_by_stage: bool | None = None,
 ) -> Tuple[Lut, Dict[str, Any]]:
     """Fit per-block scale factors so the LUT predicts END-TO-END ms.
 
@@ -453,6 +455,29 @@ def calibrate_lut(
     and the atom_ms chord slope scale with it), so every downstream
     consumer — live_ms, the adaptive ms target, the budget floor/ceiling,
     atom prices — now budgets in predicted FOLDED end-to-end ms.
+
+    Round-4 regime fix (VERDICT r3 weak #1 — the round-3 calibration fit
+    ~35 ms supernet-scale probes while the budget regime was ~11-13 ms,
+    pinned 7/16 per-block scales at the clip bounds, and lost to no
+    calibration on the reference net):
+
+    * ``target_ms``: when set, every probe profile is rescale-sampled into
+      the [0.75, 1.4] x target_ms band of RAW-LUT-predicted ms — random
+      per-block (and per-branch, mix-skewed) fracs are multiplied by a
+      common factor until the predicted total lands in band, preserving
+      per-block diversity (which identifies the scales) while pinning the
+      totals to the regime the budget lives in. Fracs are floored at each
+      block's lowest MEASURED occupancy so probes never sit in the clamp
+      region (the round-3 Goodhart lesson).
+    * ``group_by_stage`` (default: on iff ``target_ms`` is set): one scale
+      per spatial-resolution stage instead of per block — same-stage
+      standalone timings are collinear (they share spatial shape and
+      bandwidth regime), which is what pinned the per-block fit.
+    * leave-one-out validation: the fit is re-solved K times with one
+      probe held out; calibration ships only if its LOO RMSE beats raw's
+      (raw has no fitted parameters, so its in-sample RMSE IS
+      out-of-sample). In-sample RSS alone cannot fail a 17-parameter fit
+      on 28 probes.
     """
     n_probes = max(1, int(n_probes))
     keys = list(lut["blocks"].keys())
@@ -460,26 +485,8 @@ def calibrate_lut(
     mix_aware = bool(lut.get("mix_aware"))
     per = F.atom_flops(arch, input_size)
     rng = np.random.RandomState(seed)
-
-    # uniform branch-proportional profiles first (n_probes < 6 keeps the
-    # LAST ones so the full-occupancy anchor always survives), then
-    # alternating per-block-random and per-BRANCH-random (mix-skewed)
-    # profiles — searched nets are mix-skewed, so the fit must see probes
-    # off the proportional manifold or the mix correction goes unvalidated
-    profiles: List[Dict[str, Any]] = []
-    for f in _PROBE_FRACS[-min(n_probes, len(_PROBE_FRACS)):]:
-        profiles.append({k: float(f) for k in keys})
-    while len(profiles) < n_probes:
-        if len(profiles) % 2 == 0:
-            profiles.append(
-                {k: float(rng.choice(_PROBE_FRACS)) for k in keys}
-            )
-        else:
-            profiles.append({
-                k: tuple(float(rng.choice(_PROBE_FRACS))
-                         for _ in by_key[k].kernels)
-                for k in keys
-            })
+    if group_by_stage is None:
+        group_by_stage = target_ms is not None
 
     def _row(probe: ModelArch) -> Tuple[List[float], Dict[str, float]]:
         row, occ = [], {}
@@ -502,6 +509,76 @@ def calibrate_lut(
                 base *= live_fl / (t * max(mean_fl, 1e-30))
             row.append(base)
         return row + [float(lut["const_ms"])], occ
+
+    def _pred(fr: Dict[str, Any]) -> float:
+        return float(sum(_row(sliced_probe_arch(arch, fr))[0]))
+
+    profiles: List[Dict[str, Any]] = []
+    regime_attempts = 0
+    if target_ms is not None and target_ms > 0:
+        # rescale-sample profiles into the budget regime (docstring above)
+        lo, hi = 0.75 * target_ms, 1.4 * target_ms
+        floor_frac = {
+            k: min(1.0, float(lut["blocks"][k]["occ"][0])
+                   / max(by_key[k].total_hidden, 1))
+            for k in keys
+        }
+
+        def _scale_fr(fr: Dict[str, Any], g: float) -> Dict[str, Any]:
+            out: Dict[str, Any] = {}
+            for k, v in fr.items():
+                f0 = floor_frac[k]
+                if isinstance(v, tuple):
+                    out[k] = tuple(min(1.0, max(f0, x * g)) for x in v)
+                else:
+                    out[k] = min(1.0, max(f0, v * g))
+            return out
+
+        while len(profiles) < n_probes and regime_attempts < 200 * n_probes:
+            regime_attempts += 1
+            if regime_attempts % 2:
+                fr: Dict[str, Any] = {
+                    k: float(rng.choice(_PROBE_FRACS)) for k in keys
+                }
+            else:
+                fr = {
+                    k: tuple(float(rng.choice(_PROBE_FRACS))
+                             for _ in by_key[k].kernels)
+                    for k in keys
+                }
+            for _ in range(5):
+                p = _pred(fr)
+                if lo <= p <= hi:
+                    break
+                fr = _scale_fr(fr, target_ms / max(p, 1e-9))
+            if lo <= _pred(fr) <= hi:
+                profiles.append(fr)
+        if len(profiles) < n_probes and progress:
+            print(f"  regime sampling exhausted at {len(profiles)}/"
+                  f"{n_probes} probes in [{lo:.2f}, {hi:.2f}] ms "
+                  f"({regime_attempts} attempts); falling back to legacy "
+                  f"profiles for the rest", flush=True)
+    if len(profiles) < n_probes:
+        # legacy profiles: uniform branch-proportional first (n_probes < 6
+        # keeps the LAST ones so the full-occupancy anchor always
+        # survives), then alternating per-block-random and per-BRANCH-
+        # random (mix-skewed) profiles — searched nets are mix-skewed, so
+        # the fit must see probes off the proportional manifold or the mix
+        # correction goes unvalidated
+        want = n_probes - len(profiles)
+        for f in _PROBE_FRACS[-min(want, len(_PROBE_FRACS)):]:
+            profiles.append({k: float(f) for k in keys})
+        while len(profiles) < n_probes:
+            if len(profiles) % 2 == 0:
+                profiles.append(
+                    {k: float(rng.choice(_PROBE_FRACS)) for k in keys}
+                )
+            else:
+                profiles.append({
+                    k: tuple(float(rng.choice(_PROBE_FRACS))
+                             for _ in by_key[k].kernels)
+                    for k in keys
+                })
 
     # probe measurements are the expensive part (~2 min each on-chip: a
     # fresh init + fold + whole-net compile per probe) and a killed
@@ -556,21 +633,63 @@ def calibrate_lut(
 
     X = np.asarray(rows, np.float64)
     y_v = np.asarray(ys, np.float64)
-    A = X.T @ X
-    d = np.diag(np.diag(A))
-    ones = np.ones(X.shape[1])
-    s = np.linalg.solve(A + ridge * d, X.T @ y_v + ridge * d @ ones)
-    s[:-1] = np.clip(s[:-1], 0.3, 3.0)  # per-block sanity band
-    s[-1] = np.clip(s[-1], 0.05, 20.0)  # const absorbs global bias
+    n_cols = X.shape[1]
+
+    # grouping matrix G maps group scales -> per-column scales; legacy
+    # (per-block) mode is G = identity, so one solver serves both paths
+    if group_by_stage:
+        sizes_all = F.spatial_sizes(arch, input_size)
+        gname = [f"s{sizes_all[int(k.split('_')[1])][0]}" for k in keys]
+        group_names = list(dict.fromkeys(gname)) + ["const"]
+        G = np.zeros((n_cols, len(group_names)))
+        for j, g in enumerate(gname):
+            G[j, group_names.index(g)] = 1.0
+        G[-1, -1] = 1.0
+    else:
+        group_names = list(keys) + ["const"]
+        G = np.eye(n_cols)
+
+    def _solve(Xf: np.ndarray, yf: np.ndarray) -> np.ndarray:
+        Xg = Xf @ G
+        A = Xg.T @ Xg
+        d = np.diag(np.diag(A))
+        og = np.ones(G.shape[1])
+        sg = np.linalg.solve(A + ridge * d, Xg.T @ yf + ridge * d @ og)
+        sg[:-1] = np.clip(sg[:-1], 0.3, 3.0)  # per-group sanity band
+        sg[-1] = np.clip(sg[-1], 0.05, 20.0)  # const absorbs global bias
+        return sg
+
+    sg = _solve(X, y_v)
+    s = G @ sg
+    ones = np.ones(n_cols)
+
+    # leave-one-out RMSE: the out-of-sample test the round-3 calibration
+    # lacked (it improved in-sample RMSE while losing to raw on the
+    # reference net). Raw's in-sample RMSE IS its out-of-sample RMSE (no
+    # fitted parameters), so the comparison below is apples-to-apples.
+    rmse_loo = None
+    if len(y_v) >= 3:
+        preds = []
+        for i in range(len(y_v)):
+            m = np.arange(len(y_v)) != i
+            s_i = G @ _solve(X[m], y_v[m])
+            preds.append(float(X[i] @ s_i))
+        rmse_loo = float(np.sqrt(np.mean((np.asarray(preds) - y_v) ** 2)))
+
     # the ridge-toward-1 guarantee (RSS(s) <= RSS(1)) holds for the
     # UNCLIPPED minimizer; with few/noisy/collinear probes the clip can
     # bind and break it (observed on a 4-probe CPU run) — never ship a
-    # calibration worse than no calibration
-    fell_back = bool(
-        np.sum((X @ s - y_v) ** 2) > np.sum((X @ ones - y_v) ** 2)
-    )
+    # calibration worse than no calibration, in-sample OR out-of-sample
+    rmse_raw_v = float(np.sqrt(np.mean((X @ ones - y_v) ** 2)))
+    fallback_reason = None
+    if np.sum((X @ s - y_v) ** 2) > np.sum((X @ ones - y_v) ** 2):
+        fallback_reason = "in_sample"
+    elif rmse_loo is not None and rmse_loo > rmse_raw_v:
+        fallback_reason = "leave_one_out"
+    fell_back = fallback_reason is not None
     if fell_back:
         s = ones
+        sg = np.ones(G.shape[1])
 
     out = dict(lut)
     out["blocks"] = {
@@ -589,12 +708,22 @@ def calibrate_lut(
         "scales": {k: float(s[j]) for j, k in enumerate(keys)},
         "const_scale": float(s[-1]),
         "fell_back_to_raw": fell_back,
+        "fallback_reason": fallback_reason,
         "mix_aware": mix_aware,
         "ridge": ridge,
         "n_probes": len(profiles),
         "rmse_raw_ms": rmse_raw,
         "rmse_calibrated_ms": rmse_cal,
+        "rmse_loo_calibrated_ms": rmse_loo,
         "mean_measured_ms": float(y_v.mean()),
+        "target_ms": target_ms,
+        "regime_attempts": regime_attempts,
+        "group_by_stage": bool(group_by_stage),
+        "group_scales": {g: float(sg[j])
+                         for j, g in enumerate(group_names)},
+        "n_scales_clipped": int(np.sum(
+            np.isclose(sg[:-1], 0.3) | np.isclose(sg[:-1], 3.0)
+        )),
         "probes": probe_log,
     }
     out["calibration"] = {k: v for k, v in diag.items() if k != "probes"}

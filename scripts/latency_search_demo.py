@@ -115,32 +115,48 @@ def measure(args) -> None:
         )
         raw_path.write_text(json.dumps(lut, indent=2))
 
-    raw_lut, cal_lut = lut, None
-    if args.calibrate_probes > 0:
-        # fit per-block scales against end-to-end folded probe nets: the
-        # raw LUT's composition bias is ARCH-DEPENDENT (measured +17.5%/-5%
-        # on the v2 searched nets), so budgets priced off it are not
-        # comparable across architectures (search/latency.py docstring)
-        print(f"calibrating LUT against {args.calibrate_probes} "
-              f"end-to-end folded probes...", flush=True)
-        cal_lut, cal_diag = latlib.calibrate_lut(
-            lut, arch, size, n_probes=args.calibrate_probes,
-            cache_path=str(out / "probe_cache.jsonl"),
-        )
-        (out / "calibration.json").write_text(json.dumps(cal_diag, indent=2))
-        print(f"calibration: probe RMSE {cal_diag['rmse_raw_ms']:.3f} -> "
-              f"{cal_diag['rmse_calibrated_ms']:.3f} ms "
-              f"(mean measured {cal_diag['mean_measured_ms']:.3f} ms)")
-        lut = cal_lut
-
+    # the reference net's real e2e ms is measured BEFORE calibration: it
+    # anchors both the calibration regime (target_ms — the round-3 fit
+    # sampled ~35 ms supernet-scale probes while the budget lived at
+    # ~11-13 ms and lost to raw exactly there) and the final
+    # raw-vs-calibrated choice below
     per_fl = F.atom_flops(arch, size)
-    ref_keys: dict = {}
+    e2e = ref_masks = None
     if args.reference_run:
         meta = _final_meta(pathlib.Path(args.reference_run))
         ref_masks = _net_masks(meta, arch)
         e2e = _e2e_folded_ms(
             args.config, pathlib.Path(args.reference_run), args.batch
         )
+
+    raw_lut, cal_lut = lut, None
+    if args.calibrate_probes > 0:
+        # fit per-block scales against end-to-end folded probe nets: the
+        # raw LUT's composition bias is ARCH-DEPENDENT (measured +17.5%/-5%
+        # on the v2 searched nets), so budgets priced off it are not
+        # comparable across architectures (search/latency.py docstring)
+        tgt = e2e["e2e_folded_ms"] if e2e else None
+        print(f"calibrating LUT against {args.calibrate_probes} "
+              f"end-to-end folded probes"
+              + (f" (regime-matched to {tgt:.2f} ms)" if tgt else "")
+              + "...", flush=True)
+        cal_lut, cal_diag = latlib.calibrate_lut(
+            lut, arch, size, n_probes=args.calibrate_probes,
+            cache_path=str(out / "probe_cache.jsonl"),
+            target_ms=tgt,
+        )
+        (out / "calibration.json").write_text(json.dumps(cal_diag, indent=2))
+        loo = cal_diag.get("rmse_loo_calibrated_ms")
+        print(f"calibration: probe RMSE {cal_diag['rmse_raw_ms']:.3f} -> "
+              f"{cal_diag['rmse_calibrated_ms']:.3f} ms in-sample, "
+              f"LOO {loo if loo is None else round(loo, 3)} ms "
+              f"(mean measured {cal_diag['mean_measured_ms']:.3f} ms, "
+              f"fell_back={cal_diag['fell_back_to_raw']}"
+              f"{', ' + str(cal_diag['fallback_reason']) if cal_diag['fallback_reason'] else ''})")
+        lut = cal_lut
+
+    ref_keys: dict = {}
+    if args.reference_run:
         # the BUDGET must be denominated in the SAME pricing surface the
         # controller optimizes (mix-aware live_ms under the shipped LUT):
         # a budget in a different unit (the v3 first attempt used measured

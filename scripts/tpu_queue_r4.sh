@@ -57,4 +57,25 @@ for RHO in 0.006 0.012 0.024; do
     fi
 done
 
+# ---- job 4: regime-matched LUT calibration (VERDICT item 2) ---------------
+# Re-run the measure step with the round-4 calibrate_lut: probes rescale-
+# sampled into the budget regime ([0.75,1.4]x the reference net's e2e ms),
+# per-STAGE grouped scales, leave-one-out ship gate. Success = pricing.json
+# with lut_choice=calibrated and reference-net pricing error below raw's
+# +12.5%. Fresh out dir; seeded with the committed raw LUT (12 min saved).
+D=artifacts/latency_cal_r4
+if [ ! -f $D/pricing.json ]; then
+    log "job 4: regime-matched LUT calibration vs v3 reference net"
+    mkdir -p $D
+    cp -n artifacts/latency_search_r3/lut_raw.json $D/ 2>/dev/null || true
+    # the reference leg lives in gitignored runs/ — restore from the
+    # committed snapshot if the container was rebuilt
+    [ -f runs/latref_15mf/summary.json ] || python scripts/latsearch_snapshot.py restore
+    python scripts/latency_search_demo.py measure \
+        --config configs/jpeg_hard.yml --reference-run runs/latref_15mf \
+        --out $D --batch 64 --calibrate-probes 24
+else
+    log "job 4: done ($D/pricing.json)"
+fi
+
 log "queue complete"

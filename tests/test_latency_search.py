@@ -348,6 +348,68 @@ def test_calibrate_lut_math_and_structure():
     )
 
 
+def test_calibrate_lut_regime_matched(monkeypatch):
+    """Round-4 regime fix (VERDICT r3 weak #1): with ``target_ms`` set,
+    every probe's raw-LUT-predicted ms lands in the [0.75, 1.4] x target
+    band, scales are fitted per resolution STAGE (grouped), leave-one-out
+    RMSE is reported and gates shipping, and a stage-scaled ground truth
+    is predicted far better than raw. Deterministic: e2e measurement is
+    replaced by a synthetic stage-scaled system."""
+    cfg, arch = tiny_arch()
+    size = cfg.model.input_size
+    lut = synthetic_lut(arch, size, ms_per_flop=2e-6, const=0.4)
+    lut["mix_aware"] = True
+
+    sizes_all = F.spatial_sizes(arch, size)
+    true_scale = {
+        f"block_{i}": (0.7 if sizes_all[i][0] >= size // 2 else 1.3)
+        for i, b in enumerate(arch.blocks) if b.searchable
+    }
+
+    def fake_e2e(probe, input_size, batch, iters=10, seed=0):
+        total = 0.55 * lut["const_ms"]
+        for i, b in enumerate(arch.blocks):
+            k = f"block_{i}"
+            if k not in lut["blocks"]:
+                continue
+            e = lut["blocks"][k]
+            t = float(sum(probe.blocks[i].hidden))
+            total += true_scale[k] * float(np.interp(t, e["occ"], e["ms"]))
+        return total
+
+    monkeypatch.setattr(latlib, "measure_arch_e2e_ms", fake_e2e)
+
+    target = 0.5 * latlib.supernet_ms(lut)
+    cal, diag = latlib.calibrate_lut(
+        lut, arch, size, n_probes=10, iters=2, seed=0, target_ms=target,
+    )
+    assert diag["target_ms"] == target
+    assert diag["group_by_stage"] is True
+    lo, hi = 0.75 * target, 1.4 * target
+    for p in diag["probes"]:
+        assert lo <= p["pred_raw"] <= hi, (p["pred_raw"], lo, hi)
+    # grouped: one scale per stage, expanded per block in diag["scales"]
+    stages = {f"s{sizes_all[i][0]}" for i, b in enumerate(arch.blocks)
+              if b.searchable}
+    assert set(diag["group_scales"]) == stages | {"const"}
+    for i, b in enumerate(arch.blocks):
+        if b.searchable:
+            assert diag["scales"][f"block_{i}"] == pytest.approx(
+                diag["group_scales"][f"s{sizes_all[i][0]}"]
+            )
+    # the synthetic system is exactly stage-scaled: calibration must beat
+    # raw decisively, in-sample AND leave-one-out
+    assert diag["fell_back_to_raw"] is False
+    assert diag["rmse_calibrated_ms"] < 0.5 * diag["rmse_raw_ms"]
+    assert diag["rmse_loo_calibrated_ms"] < diag["rmse_raw_ms"]
+    # legacy path (no target_ms) keeps per-block scales and G = identity
+    cal2, diag2 = latlib.calibrate_lut(
+        lut, arch, size, n_probes=4, iters=2, seed=0,
+    )
+    assert diag2["group_by_stage"] is False
+    assert set(diag2["group_scales"]) == set(diag2["scales"]) | {"const"}
+
+
 def test_sliced_probe_arch_slices_only_searchable():
     cfg, arch = tiny_arch()
     fracs = {
