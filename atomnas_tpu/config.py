@@ -203,6 +203,15 @@ class SearchConfig:
     # the round-3 searched nets), so budgets are denominated in predicted
     # real serving ms only after calibration.
     latency_calibrate_probes: int = 0
+    # when >= 1, cap each block (1 = degenerate full temper: every block
+    # at the mean rate, i.e. pure-FLOPs pressure under an ms budget)'s ms-per-FLOP mispricing factor into
+    # [1/T, T] x the supernet-mean rate for the L1 PENALTY WEIGHTS only
+    # (search/latency.py::temper_prices). The budget surface (live_ms,
+    # adaptive target, floor/ceiling) stays on untempered measured ms.
+    # Motivation (measured v2/v3): raw ms pressure's ~15x cross-block rate
+    # spread starved the early trunk and lost accuracy at equal priced ms;
+    # tempering bounds the tilt. 0 disables (raw ms pressure).
+    latency_pressure_temper: float = 0.0
     # Budget CEILING (NetAdapt-style enforcement, adaptive schedule): when a
     # shrink event leaves the live cost ABOVE the ramp's current target,
     # kill the lowest-|gamma| alive atoms until it isn't — the ramp bounds

@@ -322,6 +322,48 @@ def live_ms(
     return total
 
 
+def temper_prices(
+    costs_ms: Dict[str, np.ndarray],
+    arch: ModelArch,
+    input_size: int,
+    cap: float,
+) -> Dict[str, np.ndarray]:
+    """Cap each block's ms-per-FLOP mispricing factor into [1/cap, cap] of
+    the supernet-mean rate, for the L1 PENALTY WEIGHTS only.
+
+    Round-4 mechanism fix for the measured v2/v3 negative result (PARITY.md
+    "Latency-aware search"): raw ms pricing puts a 0.21x..3.1x per-block
+    rate spread (~15x relative) into the gamma gradient, which starved the
+    early high-resolution trunk to 1-8 channels and lost 4-14 pp to FLOPs
+    search at equal priced ms in both draws. Tempering bounds the
+    cross-block pressure tilt while (a) keeping the within-block structure
+    exactly (atom_ms is FLOPs-proportional within a block, and tempering is
+    a per-block scalar), and (b) leaving the BUDGET surface — live_ms, the
+    adaptive target, the shrink-event floor/ceiling — on the untempered
+    measured LUT, so the run still lands on real milliseconds.
+
+    ``cap <= 1`` is the degenerate full-temper: every block priced at the
+    mean rate, i.e. pure-FLOPs pressure under an ms budget.
+    """
+    per_fl = F.atom_flops(arch, input_size)
+    tot_ms = sum(float(v.sum()) for v in costs_ms.values())
+    tot_fl = sum(
+        float(per_fl[k].sum()) for k in costs_ms if per_fl[k].size
+    )
+    mean_rate = tot_ms / max(tot_fl, 1e-30)
+    cap = max(float(cap), 1.0)
+    out: Dict[str, np.ndarray] = {}
+    for k, v in costs_ms.items():
+        fl = float(per_fl[k].sum())
+        if v.size == 0 or fl <= 0 or float(v.sum()) <= 0:
+            out[k] = v
+            continue
+        rate = float(v.sum()) / fl
+        clipped = float(np.clip(rate, mean_rate / cap, mean_rate * cap))
+        out[k] = (v * (clipped / rate)).astype(v.dtype)
+    return out
+
+
 def atom_ms(lut: Lut, arch: ModelArch, input_size: int) -> Dict[str, np.ndarray]:
     """Per-atom ms prices, keyed like the mask pytree.
 

@@ -243,13 +243,31 @@ class Experiment:
         if fresh:
             # normalizer convention matches the FLOPs weights: mean atom
             # price over the supernet's searchable atoms at init = 1
-            costs = latlib.atom_ms(lut, self.arch, cfg.model.input_size)
+            # (tempered prices when the temper cap is set, so the mean-1
+            # convention holds on the weights actually used)
+            costs = self._latency_pressure_costs(lut)
             alive = np.concatenate([
                 costs[f"block_{i}"]
                 for i, b in enumerate(self.arch.blocks)
                 if b.searchable and b.total_hidden > 0
             ]) if any(b.searchable for b in self.arch.blocks) else np.ones((1,))
             self.normalizer = float(alive.mean())
+
+    def _latency_pressure_costs(self, lut) -> dict:
+        """Per-atom ms prices for the L1 penalty weights: measured atom_ms,
+        mispricing-tempered when ``search.latency_pressure_temper`` >= 1
+        (search/latency.py::temper_prices). The budget floor/ceiling and
+        live_ms NEVER use this — they stay on untempered measured ms."""
+        from atomnas_tpu.search import latency as latlib
+
+        cfg = self.cfg
+        costs = latlib.atom_ms(lut, self.arch, cfg.model.input_size)
+        if cfg.search.latency_pressure_temper >= 1:
+            costs = latlib.temper_prices(
+                costs, self.arch, cfg.model.input_size,
+                cfg.search.latency_pressure_temper,
+            )
+        return costs
 
     def _lut_ms(self, masks_host) -> float:
         """Host-side live model ms under the branch-mix-aware pricing the
@@ -282,9 +300,7 @@ class Experiment:
         if self.latency_lut is not None:
             from atomnas_tpu.search import latency as latlib
 
-            costs = latlib.atom_ms(
-                self.latency_lut, self.arch, cfg.model.input_size
-            )
+            costs = self._latency_pressure_costs(self.latency_lut)
             pw = {
                 k: (v / self.normalizer).astype(np.float32)
                 for k, v in costs.items()

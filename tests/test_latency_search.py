@@ -410,6 +410,52 @@ def test_calibrate_lut_regime_matched(monkeypatch):
     assert set(diag2["group_scales"]) == set(diag2["scales"]) | {"const"}
 
 
+def test_temper_prices_caps_block_rates():
+    """temper_prices bounds each block's ms-per-FLOP rate into [1/T, T] x
+    the supernet-mean rate, preserves within-block structure exactly, and
+    never touches the budget surface (it returns new penalty costs only)."""
+    cfg, arch = tiny_arch()
+    size = cfg.model.input_size
+    per = F.atom_flops(arch, size)
+    # synthetic prices with an extreme cross-block rate spread (x16)
+    costs = {}
+    spread = [0.25, 4.0, 1.0]
+    j = 0
+    for i, b in enumerate(arch.blocks):
+        k = f"block_{i}"
+        if not b.searchable:
+            costs[k] = np.zeros((b.total_hidden,), np.float32)
+            continue
+        costs[k] = (per[k] * 1e-6 * spread[j % len(spread)]).astype(
+            np.float32)
+        j += 1
+
+    out = latlib.temper_prices(costs, arch, size, cap=2.0)
+    tot_ms = sum(float(v.sum()) for v in costs.values())
+    tot_fl = sum(float(per[k].sum()) for k in costs if per[k].size)
+    mean_rate = tot_ms / tot_fl
+    for i, b in enumerate(arch.blocks):
+        k = f"block_{i}"
+        if not b.searchable or not costs[k].sum():
+            continue
+        rate = float(out[k].sum()) / float(per[k].sum())
+        assert mean_rate / 2.0 - 1e-12 <= rate <= mean_rate * 2.0 + 1e-12
+        # within-block structure: a per-block scalar rescale of the input
+        ratio = out[k] / costs[k]
+        np.testing.assert_allclose(ratio, ratio[0], rtol=1e-6)
+    # cap=1 is the degenerate full temper: every block at the mean rate
+    flat = latlib.temper_prices(costs, arch, size, cap=1.0)
+    for k, v in flat.items():
+        if per[k].size and float(costs[k].sum()) > 0:
+            np.testing.assert_allclose(
+                float(v.sum()) / float(per[k].sum()), mean_rate, rtol=1e-6
+            )
+    # a block already inside the band is untouched (cap large)
+    loose = latlib.temper_prices(costs, arch, size, cap=100.0)
+    for k in costs:
+        np.testing.assert_allclose(loose[k], costs[k], rtol=1e-6)
+
+
 def test_sliced_probe_arch_slices_only_searchable():
     cfg, arch = tiny_arch()
     fracs = {
