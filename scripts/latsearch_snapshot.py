@@ -43,6 +43,7 @@ LEGS = (
     "latsearch_15mf_v3",
     "latref_15mf_retrain",
     "latsearch_15mf_v3_retrain",
+    "latsearch_15mf_v4",  # round-4 tempered-pressure draw
 )
 # small per-run streams worth keeping for the artifact record
 AUX = ("metrics_train.csv", "metrics_eval.csv", "arch_events.jsonl",

@@ -78,4 +78,41 @@ else
     log "job 4: done ($D/pricing.json)"
 fi
 
+# ---- job 5: v4 latency draw — tempered pressure, SAME v3 LUT + budget -----
+# Single-variable experiment on the v2/v3 negative result: identical
+# recipe/LUT/budget to v3, only search.latency_pressure_temper=2.0 (caps
+# the cross-block ms/FLOP pressure tilt that starved the early trunk).
+# No-retrain protocol; compare vs the standing FLOPs reference leg.
+V4=runs/latsearch_15mf_v4
+C4=artifacts/latency_search_r4
+if [ ! -f $V4/summary.json ]; then
+    log "job 5: v4 tempered-pressure latency search"
+    [ -f runs/latref_15mf/summary.json ] || python scripts/latsearch_snapshot.py restore
+    BUDGET=$(python -c "
+import json
+print(json.load(open('artifacts/latency_search_r3/pricing.json'))['reference_net_model_ms'])")
+    python -m atomnas_tpu.cli.train --config configs/jpeg_hard.yml \
+        search.cost_metric=latency search.latency_budget_ms=$BUDGET \
+        search.latency_lut_path=artifacts/latency_search_r3/lut.json \
+        search.budget_ceiling=true \
+        search.min_atoms_nonresidual=8 \
+        search.budget_ramp_epochs=20 \
+        search.latency_pressure_temper=2.0 \
+        optim.grad_clip_norm=5.0 \
+        search.latency_lut_batch=64 run.log_dir=$V4
+    python scripts/latsearch_snapshot.py snapshot
+else
+    log "job 5: search leg done ($V4/summary.json)"
+fi
+if [ -f $V4/summary.json ] && [ ! -f $C4/comparison.json ]; then
+    log "job 5: compare v4 vs FLOPs reference"
+    mkdir -p $C4
+    # same pricing surface/budget as v3 by construction — compare reads
+    # the budget and LUT choice from $OUT/pricing.json
+    cp -n artifacts/latency_search_r3/pricing.json $C4/ 2>/dev/null || true
+    python scripts/latency_search_demo.py compare --run $V4 \
+        --reference-run runs/latref_15mf --out $C4
+    python scripts/latsearch_snapshot.py snapshot
+fi
+
 log "queue complete"
