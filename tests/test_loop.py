@@ -143,6 +143,7 @@ def test_test_only_eval(tmp_path):
     assert "top1" in metrics and metrics["eval_examples"] == 24
 
 
+@pytest.mark.slow  # 14 s r4; near-duplicate of test_test_only_eval
 def test_test_only_eval_without_train_split(tmp_path):
     """An eval-only host may have no train/ directory at all; test_only
     must skip the dataset-size cross-check (which reads the train split)
@@ -333,6 +334,7 @@ def test_resume_matches_uninterrupted_bitwise(tmp_path):
         assert summary_a[k] == summary_b[k], (k, summary_a[k], summary_b[k])
 
 
+@pytest.mark.slow  # 22.4 s measured r4 (>=20 s convention)
 def test_resume_takes_precedence_over_pretrained(tmp_path):
     """An interrupted run relaunched with log_dir + pretrained must resume
     its OWN checkpoints, not restart from the pretrained init (ablation

@@ -209,6 +209,7 @@ def test_mixup_shard_local_grouping():
     np.testing.assert_allclose(np.asarray(t.sum(axis=1)), 1.0, rtol=1e-5)
 
 
+@pytest.mark.slow  # 15 s r4; compile-only HLO invariant
 def test_mixup_step_has_no_cross_chip_permute():
     """With shard-local pairing, the compiled train step on the 8-device
     data mesh must contain NO collective-permute (a whole-batch jnp.flip
