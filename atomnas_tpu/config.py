@@ -61,6 +61,12 @@ class ModelConfig:
     head_channels: int = 1280
     active_fn: str = "relu6"  # "relu6" | "swish"
     se_ratio: float = 0.0  # 0 disables squeeze-excite; + variants use 0.25
+    # SE gate hygiene (round 4; layers.squeeze_excite docstring): smooth
+    # logit bound (0 = unbounded), inner activation ("" = trunk active_fn;
+    # "relu6"/"swish"), zero-init of the gate projection (gates start 0.5)
+    se_logit_cap: float = 0.0
+    se_inner_act: str = ""
+    se_zero_init: bool = False
     dropout: float = 0.2
     bn_momentum: float = 0.1  # torch-style: new = (1-m)*old + m*batch
     bn_epsilon: float = 1e-5

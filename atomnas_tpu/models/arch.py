@@ -85,6 +85,13 @@ class ModelArch:
     num_classes: int
     blocks: Tuple[BlockArch, ...]
     active_fn: str = "relu6"
+    # SE gate hygiene knobs (round 4, see layers.squeeze_excite docstring):
+    # smooth logit bound, decoupled inner activation ("" = trunk active_fn),
+    # and zero-init of the gate projection. All default to the original
+    # unbounded/coupled behavior so old checkpoints restore unchanged.
+    se_logit_cap: float = 0.0
+    se_inner_act: str = ""
+    se_zero_init: bool = False
     dropout: float = 0.2
     bn_momentum: float = 0.1
     bn_epsilon: float = 1e-5
@@ -174,6 +181,9 @@ def supernet_arch(cfg: ModelConfig) -> ModelArch:
         num_classes=cfg.num_classes,
         blocks=tuple(blocks),
         active_fn=cfg.active_fn,
+        se_logit_cap=cfg.se_logit_cap,
+        se_inner_act=cfg.se_inner_act,
+        se_zero_init=cfg.se_zero_init,
         dropout=cfg.dropout,
         bn_momentum=cfg.bn_momentum,
         bn_epsilon=cfg.bn_epsilon,

@@ -180,7 +180,9 @@ def bn_init(channels: int) -> Tuple[Params, Params]:
 # ---------------------------------------------------------------------------
 
 
-def squeeze_excite(x: jax.Array, params: Params, active_fn) -> jax.Array:
+def squeeze_excite(
+    x: jax.Array, params: Params, active_fn, logit_cap: float = 0.0
+) -> jax.Array:
     """SE gate on NHWC input (reference: mobilenet_base.py ::
     SqueezeAndExcitation). GAP -> fc1 -> act -> fc2 -> sigmoid -> scale.
 
@@ -188,21 +190,41 @@ def squeeze_excite(x: jax.Array, params: Params, active_fn) -> jax.Array:
     to GAP and through fc1 columns / fc2 rows, so masked atoms are exactly
     equivalent to removed atoms (the re-slice invariance crux,
     SURVEY.md sec 7 hard-part 1).
+
+    ``logit_cap`` > 0 squashes the gate logits smoothly into
+    [-cap, cap] via ``cap * tanh(s / cap)`` BEFORE the sigmoid. Round-4
+    measured pathology (runs/diag_plus, scripts/diag_se_gates.py): under
+    the swish trunk at SGD lr=0.2 the unbounded logits saturate the
+    sigmoid both ways (~95% of gates pinned at 0 or 1, gradient dead),
+    permanently killing a random half of the channels and costing ~18 pp
+    top-1 at matched FLOPs. The tanh squash keeps every gate trainable
+    (identity near 0, gradient > 0 everywhere) while preserving the SE
+    semantics; elementwise, so XLA fuses it into the gating for free.
     """
     s = jnp.mean(x.astype(jnp.float32), axis=(1, 2))  # (N, C)
     s = s @ params["w1"] + params["b1"]
     s = active_fn(s)
     s = s @ params["w2"] + params["b2"]
+    if logit_cap > 0:
+        s = logit_cap * jnp.tanh(s / logit_cap)
     gate = jax.nn.sigmoid(s).astype(x.dtype)
     return x * gate[:, None, None, :]
 
 
-def se_init(rng: jax.Array, channels: int, hidden: int) -> Params:
+def se_init(
+    rng: jax.Array, channels: int, hidden: int, zero_init: bool = False
+) -> Params:
+    """``zero_init`` zeroes the gate projection (w2, b2) so every gate
+    starts at exactly sigmoid(0) = 0.5: the net begins as a uniformly
+    scaled plain net and the gates differentiate only as evidence
+    accumulates (same trick as zero-init'ing the last BN gamma in a
+    residual branch)."""
     k1, k2 = jax.random.split(rng)
     return {
         "w1": _kaiming(k1, (channels, hidden), fan=channels),
         "b1": jnp.zeros((hidden,), jnp.float32),
-        "w2": _kaiming(k2, (hidden, channels), fan=hidden),
+        "w2": (jnp.zeros((hidden, channels), jnp.float32) if zero_init
+               else _kaiming(k2, (hidden, channels), fan=hidden)),
         "b2": jnp.zeros((channels,), jnp.float32),
     }
 

@@ -78,7 +78,7 @@ def init_params(rng: jax.Array, arch: ModelArch) -> Tuple[Params, Params]:
     blocks = []
     blocks_stats = []
     for i, b in enumerate(arch.blocks):
-        p, s = _init_block(keys[3 + i], b)
+        p, s = _init_block(keys[3 + i], b, se_zero_init=arch.se_zero_init)
         blocks.append(p)
         blocks_stats.append(s)
     params["blocks"] = blocks
@@ -97,7 +97,9 @@ def init_params(rng: jax.Array, arch: ModelArch) -> Tuple[Params, Params]:
     return params, stats
 
 
-def _init_block(rng: jax.Array, b: BlockArch) -> Tuple[Params, Params]:
+def _init_block(
+    rng: jax.Array, b: BlockArch, se_zero_init: bool = False
+) -> Tuple[Params, Params]:
     n_branches = len(b.kernels)
     keys = jax.random.split(rng, 2 + 2 * n_branches)
     total = b.total_hidden
@@ -114,7 +116,8 @@ def _init_block(rng: jax.Array, b: BlockArch) -> Tuple[Params, Params]:
     if b.se_ratio > 0:
         se = {}
         for j, (k, h, r) in enumerate(zip(b.kernels, b.hidden, b.se_hidden)):
-            se[f"k{k}"] = layers.se_init(keys[2 + n_branches + j], h, r)
+            se[f"k{k}"] = layers.se_init(
+                keys[2 + n_branches + j], h, r, zero_init=se_zero_init)
         p["se"] = se
     p["pw2"] = layers.pointwise_init(keys[1], total, b.cout)
     p["bn3"], s["bn3"] = layers.bn_init(b.cout)
@@ -147,6 +150,8 @@ def forward(
 ) -> Tuple[jax.Array, Params]:
     """Supernet forward. ``x`` is NHWC float; returns (logits, new_batch_stats)."""
     act = layers.get_active_fn(arch.active_fn)
+    se_act = (layers.get_active_fn(arch.se_inner_act)
+              if arch.se_inner_act else act)
     dtype = jnp.dtype(arch.compute_dtype)
     bn_kw = dict(
         training=training, momentum=arch.bn_momentum, epsilon=arch.bn_epsilon
@@ -162,7 +167,8 @@ def forward(
 
     for i, b in enumerate(arch.blocks):
         block_fn = functools.partial(
-            _block_forward, b=b, act=act, bn_kw=bn_kw, use_pallas=use_pallas
+            _block_forward, b=b, act=act, bn_kw=bn_kw, use_pallas=use_pallas,
+            se_act=se_act, se_cap=arch.se_logit_cap,
         )
         if arch.remat and training:
             block_fn = jax.checkpoint(block_fn)
@@ -200,9 +206,14 @@ def _block_forward(
     act,
     bn_kw,
     use_pallas: bool = False,
+    se_act=None,
+    se_cap: float = 0.0,
 ) -> Tuple[jax.Array, Params]:
+    if se_act is None:
+        se_act = act
     if use_pallas:
-        return _block_forward_fused(p, s, mask, x, b=b, act=act, bn_kw=bn_kw)
+        return _block_forward_fused(p, s, mask, x, b=b, act=act, bn_kw=bn_kw,
+                                    se_act=se_act, se_cap=se_cap)
     new_s: Params = {}
     if b.expand:
         h = layers.conv1x1(x, p["pw1"])
@@ -228,7 +239,8 @@ def _block_forward(
         gated = []
         for j, k in enumerate(b.kernels):
             sl = h[..., offs[j] : offs[j] + b.hidden[j]]
-            gated.append(layers.squeeze_excite(sl, p["se"][f"k{k}"], act))
+            gated.append(
+                layers.squeeze_excite(sl, p["se"][f"k{k}"], se_act, se_cap))
         h = gated[0] if len(gated) == 1 else jnp.concatenate(gated, axis=-1)
 
     y = layers.conv1x1(h, p["pw2"])
@@ -254,6 +266,8 @@ def _block_forward_fused(
     b: BlockArch,
     act,
     bn_kw,
+    se_act=None,
+    se_cap: float = 0.0,
 ) -> Tuple[jax.Array, Params]:
     """Block forward using the fused dw-sandwich Pallas kernel.
 
@@ -314,7 +328,9 @@ def _block_forward_fused(
         gated = []
         for j, k in enumerate(b.kernels):
             sl = h[..., offs[j] : offs[j] + b.hidden[j]]
-            gated.append(layers.squeeze_excite(sl, p["se"][f"k{k}"], act))
+            gated.append(layers.squeeze_excite(
+                sl, p["se"][f"k{k}"], se_act if se_act is not None else act,
+                se_cap))
         h = gated[0] if len(gated) == 1 else jnp.concatenate(gated, axis=-1)
 
     y = layers.conv1x1(h, p["pw2"])

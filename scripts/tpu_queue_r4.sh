@@ -27,17 +27,11 @@ else
 fi
 
 # ---- job 2: "+"-variant (Swish+SE) search quality (VERDICT item 3) -------
-# Full 3-leg ablation in plus mode at the tight 8 MF budget: searched vs
-# matched-FLOPs uniform (also Swish+SE) vs random subnet. Compare against
-# the plain rows in artifacts/ablation_r3/r3b_8mf/ablation.json
-# (0.9685 / 0.959 / 0.748).
-if [ ! -f runs/ablate_plus_8mf/ablation.json ]; then
-    log "job 2: plus-variant (Swish+SE) ablation @ 8 MF"
-    python scripts/ablate_search.py \
-        --config configs/jpeg_hard_plus.yml --out runs/ablate_plus_8mf
-else
-    log "job 2: done (runs/ablate_plus_8mf/ablation.json)"
-fi
+# MOVED TO THE END (job 6). The first attempt's searched leg collapsed to
+# chance at shrink events ~ep14 AND the diag matrix (runs/diag_plus) shows
+# the Swish+SE recipe trains to ~60% of swish-only accuracy at matched
+# FLOPs even WITHOUT search — the recipe needs a fix before burning another
+# searched leg on it. Jobs 3-5 are independent, so they run first.
 
 # ---- job 3: fixed-rho landing evidence (VERDICT item 5) -------------------
 # Paper-faithful mechanism: constant rho, NO budget target (flops_budget=0
@@ -113,6 +107,36 @@ if [ -f $V4/summary.json ] && [ ! -f $C4/comparison.json ]; then
     python scripts/latency_search_demo.py compare --run $V4 \
         --reference-run runs/latref_15mf --out $C4
     python scripts/latsearch_snapshot.py snapshot
+fi
+
+# ---- job 5.7: SE-gate fix diag matrix + recipe selection ------------------
+# Trains the three fix candidates at matched FLOPs (idempotent; the broken
+# legs already exist in runs/diag_plus) and, if one recovers >=0.9x the
+# swish-only leg, bakes it into configs/jpeg_hard_plus.yml + writes the
+# marker that unblocks job 6. See scripts/fix_plus_recipe.py docstring.
+if [ ! -f configs/.plus_recipe_fixed ]; then
+    log "job 5.7: SE-gate fix diag matrix (3 candidates @ 14 epochs)"
+    python scripts/diag_plus.py --lrs
+    python scripts/fix_plus_recipe.py || \
+        log "job 5.7: no candidate passed the recovery gate"
+else
+    log "job 5.7: done (configs/.plus_recipe_fixed)"
+fi
+
+# ---- job 6 (was job 2): "+"-variant (Swish+SE) ablation, fixed recipe ----
+# Gated on the marker file the recipe fix writes (see scripts/diag_plus.py
+# and the PARITY.md plus-variant section). The collapsed first attempt's
+# searched leg must be wiped when the fix lands (the fixer does it).
+if [ -f configs/.plus_recipe_fixed ]; then
+    if [ ! -f runs/ablate_plus_8mf/ablation.json ]; then
+        log "job 6: plus-variant (Swish+SE) ablation @ 8 MF (fixed recipe)"
+        python scripts/ablate_search.py \
+            --config configs/jpeg_hard_plus.yml --out runs/ablate_plus_8mf
+    else
+        log "job 6: done (runs/ablate_plus_8mf/ablation.json)"
+    fi
+else
+    log "job 6: SKIPPED (plus recipe fix not landed; configs/.plus_recipe_fixed absent)"
 fi
 
 log "queue complete"

@@ -165,6 +165,78 @@ def test_se_and_swish_variant():
     assert jnp.all(jnp.isfinite(logits))
 
 
+def test_se_gate_hygiene_knobs():
+    """Round-4 SE fix knobs (layers.squeeze_excite docstring): the logit
+    cap bounds gates away from hard 0/1, zero-init starts every gate at
+    exactly 0.5, and the decoupled inner act + cap keep masked==removed."""
+    import dataclasses
+
+    from atomnas_tpu.models import arch as A
+
+    cfg = tiny_cfg(active_fn="swish", se_ratio=0.25, se_logit_cap=4.0,
+                   se_inner_act="relu6", se_zero_init=True)
+    arch = supernet_arch(cfg)
+    assert arch.se_logit_cap == 4.0 and arch.se_inner_act == "relu6"
+    assert arch.se_zero_init
+
+    # serialization round-trips, and OLD json (knobs absent) restores to
+    # the original unbounded behavior (checkpoint back-compat)
+    assert A.ModelArch.from_json(arch.to_json()) == arch
+    import json
+    d = json.loads(arch.to_json())
+    for k in ("se_logit_cap", "se_inner_act", "se_zero_init"):
+        d.pop(k)
+    old = A.ModelArch.from_json(json.dumps(d))
+    assert old.se_logit_cap == 0.0 and old.se_inner_act == ""
+    assert not old.se_zero_init
+
+    params, stats = init_params(jax.random.key(0), arch)
+    masks = init_masks(arch)
+    # zero-init: gate projection is exactly zero => gate == 0.5 => with a
+    # plain and a zero-init net sharing weights otherwise, SE scales by 0.5
+    assert float(jnp.abs(params["blocks"][1]["se"]["k3"]["w2"]).max()) == 0.0
+    x = jax.random.normal(jax.random.key(1), (2, 32, 32, 3))
+    logits, _ = forward(params, stats, masks, x, arch=arch, training=False)
+    assert jnp.all(jnp.isfinite(logits))
+
+    # the cap bounds gates into (sigmoid(-cap), sigmoid(cap)) even under
+    # adversarially huge gate-projection weights
+    from atomnas_tpu.models import layers
+
+    se_p = {
+        "w1": jnp.ones((6, 4)) * 50.0, "b1": jnp.zeros((4,)),
+        "w2": jnp.ones((4, 6)) * 50.0, "b2": jnp.zeros((6,)),
+    }
+    big = jnp.ones((2, 3, 3, 6))
+    capped = layers.squeeze_excite(big, se_p, layers.relu6, logit_cap=4.0)
+    gate = capped / big
+    lo, hi = jax.nn.sigmoid(-4.0), jax.nn.sigmoid(4.0)
+    assert float(gate.max()) <= float(hi) + 1e-6
+    uncapped = layers.squeeze_excite(big, se_p, layers.relu6)
+    assert float((uncapped / big).max()) > float(hi)  # would saturate
+
+    # dead residual block is still EXACTLY the identity with cap+inner-act
+    # (the full masked==re-sliced SE equivalence is pinned by
+    # tests/test_shrink.py's re-slice tests, parametrized over se knobs)
+    m3 = dict(masks)
+    m3["block_2"] = jnp.zeros_like(masks["block_2"])
+    dead, _ = forward(params, stats, m3, x, arch=arch, training=False)
+    arch_wo = dataclasses.replace(
+        arch, blocks=tuple(b for i, b in enumerate(arch.blocks) if i != 2)
+    )
+    params_wo = dict(params)
+    params_wo["blocks"] = [p for i, p in enumerate(params["blocks"]) if i != 2]
+    stats_wo = dict(stats)
+    stats_wo["blocks"] = [s for i, s in enumerate(stats["blocks"]) if i != 2]
+    masks_wo = {f"block_{j}": m3[f"block_{i}"] for j, i in enumerate([0, 1, 3])}
+    removed, _ = forward(
+        params_wo, stats_wo, masks_wo, x, arch=arch_wo, training=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(dead), np.asarray(removed), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_forward_jits(tiny):
     _, arch, params, stats, masks = tiny
     x = jax.random.normal(jax.random.key(1), (2, 32, 32, 3))

@@ -32,12 +32,12 @@ TINY_SETTING = (
 )
 
 
-def build(se=0.0):
+def build(se=0.0, **model_kw):
     mcfg = ModelConfig(
         num_classes=10, input_size=16, stem_channels=8, head_channels=32,
         compute_dtype="float32", dropout=0.0, se_ratio=se,
         active_fn="swish" if se else "relu6",
-        inverted_residual_setting=TINY_SETTING,
+        inverted_residual_setting=TINY_SETTING, **model_kw,
     )
     arch = supernet_arch(mcfg)
     params, stats = init_params(jax.random.key(0), arch)
@@ -290,11 +290,20 @@ def test_budget_ceiling_normalization_protects_suppressed_blocks():
     assert killed_elsewhere > 0
 
 
-@pytest.mark.parametrize("se", [0.0, 0.25], ids=["plain", "se"])
-def test_reslice_logits_equivalence(se):
+@pytest.mark.parametrize(
+    "se,model_kw",
+    [
+        (0.0, {}),
+        (0.25, {}),
+        # round-4 SE gate hygiene knobs must preserve the crux invariant
+        (0.25, {"se_logit_cap": 4.0, "se_inner_act": "relu6"}),
+    ],
+    ids=["plain", "se", "se_capped"],
+)
+def test_reslice_logits_equivalence(se, model_kw):
     """THE crux: masked supernet and re-sliced compact net must produce
     identical logits (eval mode, same inputs)."""
-    mcfg, arch, params, stats, masks = build(se=se)
+    mcfg, arch, params, stats, masks = build(se=se, **model_kw)
     params = scatter_gammas(params, key=3)
     cfg = SearchConfig(prune_threshold=0.12, min_atoms_nonresidual=1)
     masks = shrink.update_masks(params, masks, arch, cfg)
