@@ -62,24 +62,30 @@ def _act(name):
 
 
 class TorchSE(nn.Module):
-    """Reference SqueezeAndExcitation: GAP -> fc -> act -> fc -> sigmoid."""
+    """Reference SqueezeAndExcitation: GAP -> fc -> act -> fc -> sigmoid.
+    ``logit_cap`` mirrors our round-4 smooth logit bound (cap*tanh(s/cap))."""
 
-    def __init__(self, c, hidden, act):
+    def __init__(self, c, hidden, act, logit_cap=0.0):
         super().__init__()
         self.fc1 = nn.Linear(c, hidden)
         self.fc2 = nn.Linear(hidden, c)
         self.act = act
+        self.logit_cap = logit_cap
 
     def forward(self, x):
         s = x.mean((2, 3))
-        gate = torch.sigmoid(self.fc2(self.act(self.fc1(s))))
+        s = self.fc2(self.act(self.fc1(s)))
+        if self.logit_cap > 0:
+            s = self.logit_cap * torch.tanh(s / self.logit_cap)
+        gate = torch.sigmoid(s)
         return x * gate[:, :, None, None]
 
 
 class TorchBranch(nn.Module):
     """One kernel branch of the reference's InvertedResidualChannels."""
 
-    def __init__(self, cin, h, k, stride, cout, expand, se_hidden, act):
+    def __init__(self, cin, h, k, stride, cout, expand, se_hidden, act,
+                 se_act=None, se_cap=0.0):
         super().__init__()
         self.expand, self.act = expand, act
         if expand:
@@ -87,7 +93,8 @@ class TorchBranch(nn.Module):
             self.bn1 = nn.BatchNorm2d(h)
         self.dw = nn.Conv2d(h, h, k, stride, padding=k // 2, groups=h, bias=False)
         self.bn2 = nn.BatchNorm2d(h)
-        self.se = TorchSE(h, se_hidden, act) if se_hidden else None
+        self.se = (TorchSE(h, se_hidden, se_act or act, se_cap)
+                   if se_hidden else None)
         self.pw2 = nn.Conv2d(h, cout, 1, bias=False)
 
     def forward(self, x):
@@ -99,13 +106,14 @@ class TorchBranch(nn.Module):
 
 
 class TorchBlock(nn.Module):
-    def __init__(self, b, act):
+    def __init__(self, b, act, se_act=None, se_cap=0.0):
         super().__init__()
         self.residual = b.residual
         self.branches = nn.ModuleList(
             TorchBranch(
                 b.cin, h, k, b.stride, b.cout, b.expand,
                 b.se_hidden[j] if b.se_ratio > 0 else 0, act,
+                se_act=se_act, se_cap=se_cap,
             )
             for j, (k, h) in enumerate(zip(b.kernels, b.hidden))
         )
@@ -126,7 +134,10 @@ class TorchModel(nn.Module):
         self.stem = nn.Conv2d(3, arch.stem_channels, 3, stride=2, padding=1,
                               bias=False)
         self.stem_bn = nn.BatchNorm2d(arch.stem_channels)
-        self.blocks = nn.ModuleList(TorchBlock(b, act) for b in arch.blocks)
+        se_act = _act(arch.se_inner_act) if arch.se_inner_act else act
+        self.blocks = nn.ModuleList(
+            TorchBlock(b, act, se_act=se_act, se_cap=arch.se_logit_cap)
+            for b in arch.blocks)
         c_last = arch.blocks[-1].cout
         self.head = nn.Conv2d(c_last, arch.head_channels, 1, bias=False)
         self.head_bn = nn.BatchNorm2d(arch.head_channels)
@@ -205,8 +216,14 @@ def _assert_stats_close(ours, theirs_bn):
 
 @pytest.mark.parametrize(
     "model_kw",
-    [dict(), dict(active_fn="swish", se_ratio=0.25)],
-    ids=["relu6", "swish_se"],
+    [
+        dict(),
+        dict(active_fn="swish", se_ratio=0.25),
+        # the round-4 plus-recipe SE hygiene knobs (PARITY.md)
+        dict(active_fn="swish", se_ratio=0.25, se_logit_cap=4.0,
+             se_inner_act="relu6", se_zero_init=True),
+    ],
+    ids=["relu6", "swish_se", "swish_se_capped"],
 )
 def test_torch_parity_train_and_eval(model_kw):
     arch, params, stats, masks, x = _setup(**model_kw)
