@@ -45,6 +45,8 @@ def main(argv=None) -> dict:
     p.add_argument("--epochs", type=int, default=14)
     p.add_argument("--lrs", type=float, nargs="*", default=[0.05],
                    help="extra base_lr values for the swish_se leg")
+    p.add_argument("--legs", nargs="*", default=None,
+                   help="run only these leg names (default: all)")
     args = p.parse_args(argv)
     out = pathlib.Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
@@ -67,9 +69,27 @@ def main(argv=None) -> dict:
         ("swish_se_cap4_zero", "swish", 0.25, None,
          {"se_logit_cap": 4.0, "se_zero_init": True}),
         ("swish_se_relu6in", "swish", 0.25, None, {"se_inner_act": "relu6"}),
+        # round-4 long-schedule controls: the 40-epoch plus ablation showed
+        # cap4+zero gates STILL binarize (p05/p95 pinned at sigmoid(-/+4),
+        # 30-60% of gates <0.1 per block) and the uniform leg stalls at
+        # 0.4995 while the soft-gated random subnet trains fine. These legs
+        # separate trunk-vs-gate causes at the FULL schedule:
+        #   swish           - trunk alone (never measured beyond 14 epochs)
+        #   se_cap4_zero    - capped gates under the known-good relu6 trunk
+        #   swish_se_cap2_zero - gate floor 0.12: sigmoid(+-2) can't kill a
+        #                     channel, gradient stays alive through x*gate
+        ("se_cap4_zero", "relu6", 0.25, None,
+         {"se_logit_cap": 4.0, "se_zero_init": True}),
+        ("swish_se_cap2_zero", "swish", 0.25, None,
+         {"se_logit_cap": 2.0, "se_zero_init": True}),
     ] + [
         (f"swish_se_lr{lr:g}", "swish", 0.25, lr, {}) for lr in args.lrs
     ]
+    if args.legs is not None:
+        known = {name for name, *_ in legs}
+        missing = set(args.legs) - known
+        assert not missing, f"unknown legs: {sorted(missing)}"
+        legs = [l for l in legs if l[0] in args.legs]
 
     results = {}
     for name, act, se, lr, extra in legs:

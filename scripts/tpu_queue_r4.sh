@@ -139,4 +139,59 @@ else
     log "job 6: SKIPPED (plus recipe fix not landed; configs/.plus_recipe_fixed absent)"
 fi
 
+# ---- job 8: v5 latency draw — T=1, pure FLOPs pressure under the ms budget
+# The temper dial's untested endpoint: T=2 barely flattened the per-atom
+# weight spread (93x -> 56x; T=1 = 21x = exactly the FLOPs shape), which is
+# why v4's allocation matched v3's. T=1 decouples the currencies: known-good
+# FLOPs-shaped gradient pressure, budget/ceiling denominated in measured ms.
+# If it lands ~0.97 at the 12.51 ms budget, the latency axis gets its
+# positive user-facing claim ("ms-budgeted search without accuracy loss").
+V5=runs/latsearch_15mf_v5
+C5=artifacts/latency_search_v5
+if [ ! -f $V5/summary.json ]; then
+    log "job 8: v5 T=1 latency search (FLOPs pressure, ms budget)"
+    [ -f runs/latref_15mf/summary.json ] || python scripts/latsearch_snapshot.py restore
+    BUDGET=$(python -c "
+import json
+print(json.load(open('artifacts/latency_search_r3/pricing.json'))['reference_net_model_ms'])")
+    python -m atomnas_tpu.cli.train --config configs/jpeg_hard.yml \
+        search.cost_metric=latency search.latency_budget_ms=$BUDGET \
+        search.latency_lut_path=artifacts/latency_search_r3/lut.json \
+        search.budget_ceiling=true \
+        search.min_atoms_nonresidual=8 \
+        search.budget_ramp_epochs=20 \
+        search.latency_pressure_temper=1.0 \
+        optim.grad_clip_norm=5.0 \
+        search.latency_lut_batch=64 run.log_dir=$V5
+    python scripts/latsearch_snapshot.py snapshot
+else
+    log "job 8: search leg done ($V5/summary.json)"
+fi
+if [ -f $V5/summary.json ] && [ ! -f $C5/comparison.json ]; then
+    log "job 8: compare v5 vs FLOPs reference"
+    mkdir -p $C5
+    cp -n artifacts/latency_search_r3/pricing.json $C5/ 2>/dev/null || true
+    python scripts/latency_search_demo.py compare --run $V5 \
+        --reference-run runs/latref_15mf --out $C5
+    python scripts/latsearch_snapshot.py snapshot
+fi
+
+# ---- job 7: 40-epoch plus-recipe controls (runs AFTER job 8: single runs
+# answer the flagship question; these isolate the plus stall) ---------------
+# The 40-epoch ablation inverted the 14-epoch diag: random (supernet-init-
+# sliced, soft gates) 0.900 >> searched 0.554 > uniform 0.4995, and the
+# uniform leg's capped gates STILL binarize (p05/p95 at sigmoid(-+4)).
+# Full-schedule legs separating trunk vs gates vs cap value:
+#   swish              trunk alone at 40 ep (never measured past 14 ep)
+#   se                 relu6 + uncapped SE (does SE binarize w/o swish?)
+#   se_cap4_zero       capped gates under the known-good relu6 trunk
+#   swish_se_cap2_zero gate floor 0.12 - saturation cannot kill a channel
+if [ ! -f runs/diag_plus40/diag_plus.json ]; then
+    log "job 7: 40-epoch plus-recipe controls (4 legs)"
+    python scripts/diag_plus.py --out runs/diag_plus40 --epochs 40 --lrs \
+        --legs swish se se_cap4_zero swish_se_cap2_zero
+else
+    log "job 7: done (runs/diag_plus40/diag_plus.json)"
+fi
+
 log "queue complete"
