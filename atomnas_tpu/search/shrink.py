@@ -49,6 +49,7 @@ def update_masks(
     budget_floor: float | None = None,
     atom_costs: Dict[str, np.ndarray] | None = None,
     live_cost_fn=None,
+    provenance: Dict[str, int] | None = None,
 ) -> Dict[str, jax.Array]:
     """One shrink event: kill atoms whose |gamma| fell below the threshold.
 
@@ -73,7 +74,22 @@ def update_masks(
     (latency mode passes per-atom ms and a LUT-interp live-ms fn —
     search/latency.py); default is the analytic FLOPs surface. The floor,
     the costs and the live metric must share one unit.
+
+    ``provenance``, when given, is filled with per-mechanism atom counts
+    for this event (``threshold_killed``, ``floor_revived``,
+    ``ceiling_killed``) — which mechanism drives the allocation was
+    unrecoverable from the event stream during the round-3/4 latency
+    post-mortems, so the driver now records it (train/loop.py
+    ``_shrink_event`` puts it in ``arch_events.jsonl``).
     """
+
+    def _alive(ms) -> int:
+        return int(sum(
+            float(np.asarray(jax.device_get(ms[f"block_{i}"])).sum())
+            for i, b in enumerate(arch.blocks)
+            if b.searchable
+        ))
+
     new_masks = dict(masks)
     for i, b in enumerate(arch.blocks):
         if not b.searchable:
@@ -91,12 +107,21 @@ def update_masks(
             forced = jnp.zeros_like(old).at[top_idx].set(1.0) * old
             alive = jnp.where(jnp.sum(alive) >= keep, alive, jnp.maximum(alive, forced))
         new_masks[key] = alive
+    if provenance is not None:
+        alive_before = _alive(masks)
+        alive_thresh = _alive(new_masks)
+        provenance["threshold_killed"] = alive_before - alive_thresh
+        provenance["floor_revived"] = 0
+        provenance["ceiling_killed"] = 0
     floor = cfg.flops_budget if budget_floor is None else budget_floor
     if floor > 0 and (input_size is not None or atom_costs is not None):
         new_masks = _budget_floor(
             params, masks, new_masks, arch, floor, input_size,
             atom_costs=atom_costs, live_cost_fn=live_cost_fn,
         )
+        if provenance is not None:
+            alive_floor = _alive(new_masks)
+            provenance["floor_revived"] = alive_floor - alive_thresh
         if cfg.budget_ceiling:
             # base the kill cap on KILLABLE atoms only: non-searchable
             # blocks' all-ones masks can never die, so counting them would
@@ -118,6 +143,8 @@ def update_masks(
                 cfg.min_atoms_nonresidual, max_kill=max_kill,
                 atom_costs=atom_costs, live_cost_fn=live_cost_fn,
             )
+            if provenance is not None:
+                provenance["ceiling_killed"] = alive_floor - _alive(new_masks)
     return new_masks
 
 

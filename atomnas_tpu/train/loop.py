@@ -362,20 +362,24 @@ class Experiment:
             lat_costs = latlib.atom_ms(
                 self.latency_lut, self.arch, cfg.model.input_size
             )
+            provenance: dict = {}
             new_masks = shrinklib.update_masks(
                 self.state.params, self.state.masks, self.arch, cfg.search,
                 budget_floor=float(floor),
                 atom_costs=lat_costs,
                 live_cost_fn=self._lut_ms,
+                provenance=provenance,
             )
         else:
             floor = budget_target(
                 cfg.search, self.supernet_flops, step, self.steps_per_epoch
             )
+            provenance = {}
             new_masks = shrinklib.update_masks(
                 self.state.params, self.state.masks, self.arch, cfg.search,
                 input_size=cfg.model.input_size,
                 budget_floor=float(floor),
+                provenance=provenance,
             )
         self.state = self.state.replace(
             masks=new_masks, shrink_events=self.state.shrink_events + 1
@@ -386,21 +390,32 @@ class Experiment:
         live_fl = F.model_flops(self.arch, cfg.model.input_size, masks_host)
         alive = int(sum(m.sum() for m in masks_host.values()))
         arch_event = {"alive_atoms": alive, "live_mflops": live_fl / 1e6}
+        arch_event.update(provenance)
+        prov_str = (
+            " [-%d thresh +%d floor -%d ceil]" % (
+                provenance["threshold_killed"], provenance["floor_revived"],
+                provenance["ceiling_killed"],
+            )
+            if provenance.get("threshold_killed", 0)
+            or provenance.get("floor_revived", 0)
+            or provenance.get("ceiling_killed", 0)
+            else ""
+        )
         if self.latency_lut is not None:
             live_ms_now = self._lut_ms(masks_host)
             arch_event["live_ms"] = live_ms_now
             self.log.info(
                 "shrink event %d @ step %d: %d atoms alive, %.3f ms "
-                "(%.2f MFLOPs; ms budget %.3f)",
+                "(%.2f MFLOPs; ms budget %.3f)%s",
                 self.shrink_events, step, alive, live_ms_now, live_fl / 1e6,
-                cfg.search.latency_budget_ms,
+                cfg.search.latency_budget_ms, prov_str,
             )
         else:
             self.log.info(
                 "shrink event %d @ step %d: %d atoms alive, %.2f MFLOPs "
-                "(budget %.2f)",
+                "(budget %.2f)%s",
                 self.shrink_events, step, alive, live_fl / 1e6,
-                cfg.search.flops_budget / 1e6,
+                cfg.search.flops_budget / 1e6, prov_str,
             )
         self.writer.dump_arch(step, self.arch.to_json(), arch_event)
         if (

@@ -252,6 +252,51 @@ def test_update_masks_budget_ceiling():
     assert F.model_flops(arch, size, jax.device_get(m_cap)) > target
 
 
+def test_update_masks_kill_provenance():
+    """``provenance`` out-param records per-mechanism atom counts
+    (threshold_killed / floor_revived / ceiling_killed) that reconcile
+    exactly with the net mask change — the observability the round-3/4
+    latency post-mortems lacked (train/loop.py feeds it to
+    arch_events.jsonl)."""
+    mcfg, arch, params, stats, masks = build()
+    params = scatter_gammas(params)
+    size = mcfg.input_size
+
+    def alive(ms):
+        return int(sum(
+            float(np.asarray(jax.device_get(ms[f"block_{i}"])).sum())
+            for i, b in enumerate(arch.blocks) if b.searchable
+        ))
+
+    # floor regime: aggressive threshold, ramp target between extremes
+    cfg_nofloor = SearchConfig(prune_threshold=0.15, min_atoms_nonresidual=1)
+    m_nofloor = shrink.update_masks(params, masks, arch, cfg_nofloor)
+    fl_nofloor = F.model_flops(arch, size, jax.device_get(m_nofloor))
+    budget = (fl_nofloor + F.model_flops(arch, size)) / 2
+    cfg = SearchConfig(prune_threshold=0.15, min_atoms_nonresidual=1,
+                       flops_budget=budget)
+    prov = {}
+    m = shrink.update_masks(params, masks, arch, cfg, input_size=size,
+                            provenance=prov)
+    assert prov["threshold_killed"] == alive(masks) - alive(m_nofloor)
+    assert prov["floor_revived"] > 0
+    assert prov["ceiling_killed"] == 0
+    assert alive(m) == (alive(masks) - prov["threshold_killed"]
+                        + prov["floor_revived"])
+
+    # ceiling regime: inert threshold, target well below current live cost
+    fl_plain = F.model_flops(arch, size, jax.device_get(masks))
+    cfg_c = SearchConfig(prune_threshold=1e-9, min_atoms_nonresidual=1,
+                         flops_budget=fl_plain * 0.7, budget_ceiling=True,
+                         ceiling_max_kill_frac=1.0)
+    prov_c = {}
+    m_c = shrink.update_masks(params, masks, arch, cfg_c, input_size=size,
+                              provenance=prov_c)
+    assert prov_c["threshold_killed"] == 0
+    assert prov_c["floor_revived"] == 0
+    assert prov_c["ceiling_killed"] == alive(masks) - alive(m_c) > 0
+
+
 def test_budget_ceiling_normalization_protects_suppressed_blocks():
     """A block whose gammas the weighted penalty pushed uniformly low must
     NOT be amputated wholesale by the ceiling: normalization makes kill
