@@ -67,6 +67,13 @@ class ModelConfig:
     se_logit_cap: float = 0.0
     se_inner_act: str = ""
     se_zero_init: bool = False
+    # initial gate logit (b2 init): 0 = gates start at 0.5, ~3 = near-
+    # identity gates. With se_zero_init the constant gate is EXACTLY
+    # normalized away by bn3, so this only shifts the gate's own learning
+    # dynamics (sigmoid slope / which direction gates move first), not
+    # trunk gradients — measured: the early-block gamma-grad attenuation
+    # in the plus recipe is entirely swish's (6.5x at block 1), SE adds 0.
+    se_gate_init: float = 0.0
     dropout: float = 0.2
     bn_momentum: float = 0.1  # torch-style: new = (1-m)*old + m*batch
     bn_epsilon: float = 1e-5

@@ -92,6 +92,15 @@ class ModelArch:
     se_logit_cap: float = 0.0
     se_inner_act: str = ""
     se_zero_init: bool = False
+    # initial gate LOGIT (b2 init; with se_zero_init the gate starts at
+    # exactly sigmoid(cap.tanh(se_gate_init/cap)) everywhere). NOTE: a
+    # constant gate is exactly normalized away by the following bn3, so
+    # this knob does NOT change trunk gradients at init — it only sets
+    # where on the sigmoid the gate itself starts learning (0.5 = max
+    # slope, both directions; ~0.9 = near-identity, gates learn to gate
+    # DOWN). The measured early-block gamma-grad attenuation in the plus
+    # recipe (6.5x at block 1 vs relu6) is entirely the swish trunk's.
+    se_gate_init: float = 0.0
     dropout: float = 0.2
     bn_momentum: float = 0.1
     bn_epsilon: float = 1e-5
@@ -184,6 +193,7 @@ def supernet_arch(cfg: ModelConfig) -> ModelArch:
         se_logit_cap=cfg.se_logit_cap,
         se_inner_act=cfg.se_inner_act,
         se_zero_init=cfg.se_zero_init,
+        se_gate_init=cfg.se_gate_init,
         dropout=cfg.dropout,
         bn_momentum=cfg.bn_momentum,
         bn_epsilon=cfg.bn_epsilon,

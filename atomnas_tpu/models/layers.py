@@ -212,20 +212,25 @@ def squeeze_excite(
 
 
 def se_init(
-    rng: jax.Array, channels: int, hidden: int, zero_init: bool = False
+    rng: jax.Array, channels: int, hidden: int, zero_init: bool = False,
+    gate_init: float = 0.0,
 ) -> Params:
-    """``zero_init`` zeroes the gate projection (w2, b2) so every gate
-    starts at exactly sigmoid(0) = 0.5: the net begins as a uniformly
-    scaled plain net and the gates differentiate only as evidence
-    accumulates (same trick as zero-init'ing the last BN gamma in a
-    residual branch)."""
+    """``zero_init`` zeroes the gate projection (w2) so every gate starts
+    at exactly the same constant: the net begins as a uniformly scaled
+    plain net and the gates differentiate only as evidence accumulates
+    (same trick as zero-init'ing the last BN gamma in a residual branch).
+    ``gate_init`` is that constant's LOGIT (b2 init): 0 starts gates at
+    0.5, ~3 near identity. Because bn3 exactly normalizes a constant
+    per-block scale away, the value is forward-invariant under zero_init
+    and only sets where on the sigmoid the gate starts learning (0.5 =
+    max slope; near-1 = gates must learn to gate DOWN from identity)."""
     k1, k2 = jax.random.split(rng)
     return {
         "w1": _kaiming(k1, (channels, hidden), fan=channels),
         "b1": jnp.zeros((hidden,), jnp.float32),
         "w2": (jnp.zeros((hidden, channels), jnp.float32) if zero_init
                else _kaiming(k2, (hidden, channels), fan=hidden)),
-        "b2": jnp.zeros((channels,), jnp.float32),
+        "b2": jnp.full((channels,), gate_init, jnp.float32),
     }
 
 

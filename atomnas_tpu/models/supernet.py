@@ -78,7 +78,8 @@ def init_params(rng: jax.Array, arch: ModelArch) -> Tuple[Params, Params]:
     blocks = []
     blocks_stats = []
     for i, b in enumerate(arch.blocks):
-        p, s = _init_block(keys[3 + i], b, se_zero_init=arch.se_zero_init)
+        p, s = _init_block(keys[3 + i], b, se_zero_init=arch.se_zero_init,
+                           se_gate_init=arch.se_gate_init)
         blocks.append(p)
         blocks_stats.append(s)
     params["blocks"] = blocks
@@ -98,7 +99,8 @@ def init_params(rng: jax.Array, arch: ModelArch) -> Tuple[Params, Params]:
 
 
 def _init_block(
-    rng: jax.Array, b: BlockArch, se_zero_init: bool = False
+    rng: jax.Array, b: BlockArch, se_zero_init: bool = False,
+    se_gate_init: float = 0.0,
 ) -> Tuple[Params, Params]:
     n_branches = len(b.kernels)
     keys = jax.random.split(rng, 2 + 2 * n_branches)
@@ -117,7 +119,8 @@ def _init_block(
         se = {}
         for j, (k, h, r) in enumerate(zip(b.kernels, b.hidden, b.se_hidden)):
             se[f"k{k}"] = layers.se_init(
-                keys[2 + n_branches + j], h, r, zero_init=se_zero_init)
+                keys[2 + n_branches + j], h, r, zero_init=se_zero_init,
+                gate_init=se_gate_init)
         p["se"] = se
     p["pw2"] = layers.pointwise_init(keys[1], total, b.cout)
     p["bn3"], s["bn3"] = layers.bn_init(b.cout)

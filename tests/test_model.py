@@ -259,3 +259,47 @@ def test_width_mult_variants():
     x = jax.random.normal(jax.random.key(1), (2, 32, 32, 3))
     logits, _ = forward(params, stats, masks, x, arch=half, training=False)
     assert logits.shape == (2, 10)
+
+
+def test_se_gate_init_semantics():
+    """se_gate_init sets the gate's starting LOGIT (b2) under zero-init,
+    and a constant gate is exactly normalized away by bn3 in training
+    mode — so trunk gradients at init are bitwise independent of it
+    (measured round 4: the plus recipe's early-block gamma-grad
+    attenuation is swish's, not the gate level's)."""
+    import dataclasses
+
+    cfg0 = tiny_cfg(active_fn="swish", se_ratio=0.25, se_logit_cap=2.0,
+                    se_inner_act="relu6", se_zero_init=True)
+    cfg3 = dataclasses.replace(cfg0, se_gate_init=3.0)
+    a0, a3 = supernet_arch(cfg0), supernet_arch(cfg3)
+    p0, s0 = init_params(jax.random.key(0), a0)
+    p3, s3 = init_params(jax.random.key(0), a3)
+    b2 = p3["blocks"][1]["se"]["k3"]["b2"]
+    np.testing.assert_allclose(np.asarray(b2), 3.0)
+    # arch JSON round-trip + old-checkpoint back-compat (field absent -> 0)
+    from atomnas_tpu.models import arch as A
+    import json
+    assert A.ModelArch.from_json(a3.to_json()) == a3
+    d = json.loads(a3.to_json())
+    d.pop("se_gate_init")
+    assert A.ModelArch.from_json(json.dumps(d)).se_gate_init == 0.0
+
+    # bn3 invariance: identical trunk grads for gate=0.5 vs gate~0.86
+    masks = init_masks(a0)
+    x = jax.random.normal(jax.random.key(1), (4, 32, 32, 3))
+    y = jnp.arange(4) % 10
+
+    def gamma_grad(p, s, arch):
+        def loss(p):
+            logits, _ = forward(p, s, masks, x, arch=arch, training=True,
+                                rng=jax.random.key(2))
+            logp = jax.nn.log_softmax(logits)
+            return -jnp.mean(jnp.take_along_axis(logp, y[:, None], 1))
+        return jax.grad(loss)(p)
+
+    g0 = gamma_grad(p0, s0, a0)["blocks"][1]["bn2"]["scale"]
+    g3 = gamma_grad(p3, s3, a3)["blocks"][1]["bn2"]["scale"]
+    # exact in real arithmetic; f32 bn-stat rounding leaves ~1e-7 noise
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g3),
+                               rtol=2e-3, atol=2e-6)
