@@ -45,6 +45,7 @@ LEGS = (
     "latsearch_15mf_v3_retrain",
     "latsearch_15mf_v4",  # round-4 tempered-pressure draw
     "latsearch_15mf_v5",  # round-4 T=1 (pure FLOPs pressure, ms budget)
+    "latsearch_15mf_v6",  # round-4 T=1 + matched ramp 28 (schedule confound fix)
 )
 # small per-run streams worth keeping for the artifact record
 AUX = ("metrics_train.csv", "metrics_eval.csv", "arch_events.jsonl",

@@ -176,6 +176,50 @@ if [ -f $V5/summary.json ] && [ ! -f $C5/comparison.json ]; then
     python scripts/latsearch_snapshot.py snapshot
 fi
 
+# ---- job 9: v6 latency draw — v5 with the REFERENCE'S ramp (28 epochs) ----
+# Session finding: every latency leg (v1-v5) ran budget_ramp_epochs=20
+# (run_latency_search.sh:80 and the v4/v5 jobs above) while the FLOPs
+# reference leg ran jpeg_hard.yml's 28. The reference lands on budget at
+# step ~5700/6240 (ep ~36) and rises monotonically to 0.970; every latency
+# leg hits budget by step ~3700 (ep ~24), takes a 20-40 pp eval crash
+# mid-ramp (v5: 0.656 -> 0.401), and runs out of schedule recovering
+# (v5 final evals still climbing: 0.903/0.912/0.909). The accuracy losses
+# attributed to ms pricing are confounded by the harsher schedule.
+# v6 = v5 with ONLY ramp 20 -> 28. This makes the control exact: same
+# ramp, same FLOPs-shaped pressure (T=1), only the budget currency
+# differs (12.51 ms vs 16.03 MF). If v6 >= 0.970 the latency axis gets
+# its positive claim (1.62x FLOPs at equal measured ms, no accuracy
+# loss); if it still loses, ms-budgeting itself damages the search.
+V6=runs/latsearch_15mf_v6
+C6=artifacts/latency_search_v6
+if [ ! -f $V6/summary.json ]; then
+    log "job 9: v6 latency search (T=1, ramp 28 = reference schedule)"
+    [ -f runs/latref_15mf/summary.json ] || python scripts/latsearch_snapshot.py restore
+    BUDGET=$(python -c "
+import json
+print(json.load(open('artifacts/latency_search_r3/pricing.json'))['reference_net_model_ms'])")
+    python -m atomnas_tpu.cli.train --config configs/jpeg_hard.yml \
+        search.cost_metric=latency search.latency_budget_ms=$BUDGET \
+        search.latency_lut_path=artifacts/latency_search_r3/lut.json \
+        search.budget_ceiling=true \
+        search.min_atoms_nonresidual=8 \
+        search.budget_ramp_epochs=28 \
+        search.latency_pressure_temper=1.0 \
+        optim.grad_clip_norm=5.0 \
+        search.latency_lut_batch=64 run.log_dir=$V6
+    python scripts/latsearch_snapshot.py snapshot
+else
+    log "job 9: search leg done ($V6/summary.json)"
+fi
+if [ -f $V6/summary.json ] && [ ! -f $C6/comparison.json ]; then
+    log "job 9: compare v6 vs FLOPs reference"
+    mkdir -p $C6
+    cp -n artifacts/latency_search_r3/pricing.json $C6/ 2>/dev/null || true
+    python scripts/latency_search_demo.py compare --run $V6 \
+        --reference-run runs/latref_15mf --out $C6
+    python scripts/latsearch_snapshot.py snapshot
+fi
+
 # ---- job 7: 40-epoch plus-recipe controls (runs AFTER job 8: single runs
 # answer the flagship question; these isolate the plus stall) ---------------
 # The 40-epoch ablation inverted the 14-epoch diag: random (supernet-init-
