@@ -56,7 +56,8 @@ def main(argv=None) -> dict:
         base, optim=dataclasses.replace(base.optim, epochs=args.epochs)
     )
 
-    # (name, active_fn, se_ratio, base_lr, extra model-field overrides).
+    # (name, active_fn, se_ratio, base_lr, extra model-field overrides
+    # [, extra optim-field overrides]).
     # The v2 candidates attack the measured pathology (SE gates binarized
     # under the swish trunk — scripts/diag_se_gates.py): a smooth logit
     # bound, zero-init'd gate projection, and a decoupled relu6 inner act.
@@ -82,6 +83,16 @@ def main(argv=None) -> dict:
          {"se_logit_cap": 4.0, "se_zero_init": True}),
         ("swish_se_cap2_zero", "swish", 0.25, None,
          {"se_logit_cap": 2.0, "se_zero_init": True}),
+        # clip controls (round 4): both 40-epoch fixed-net plus legs take a
+        # mid-run eval crash (~step 3276: uniform 0.275->0.022, ablation
+        # searched 0.11->0.063) that the 14-epoch diag never reaches, while
+        # every surviving search run trains WITH optim.grad_clip_norm=5.
+        # swish is unbounded where relu6 saturates at 6 — if the crash is a
+        # swish-trunk gradient spike, clipping alone should fix the recipe.
+        ("swish_clip", "swish", 0.0, None, {}, {"grad_clip_norm": 5.0}),
+        ("swish_se_cap2_zero_clip", "swish", 0.25, None,
+         {"se_logit_cap": 2.0, "se_zero_init": True},
+         {"grad_clip_norm": 5.0}),
     ] + [
         (f"swish_se_lr{lr:g}", "swish", 0.25, lr, {}) for lr in args.lrs
     ]
@@ -92,7 +103,8 @@ def main(argv=None) -> dict:
         legs = [l for l in legs if l[0] in args.legs]
 
     results = {}
-    for name, act, se, lr, extra in legs:
+    for name, act, se, lr, extra, *rest in legs:
+        optim_extra = rest[0] if rest else {}
         cfg = dataclasses.replace(
             base,
             name=f"diag_{name}",
@@ -101,8 +113,10 @@ def main(argv=None) -> dict:
             ),
         )
         if lr is not None:
+            optim_extra = {**optim_extra, "base_lr": lr}
+        if optim_extra:
             cfg = dataclasses.replace(
-                cfg, optim=dataclasses.replace(cfg.optim, base_lr=lr)
+                cfg, optim=dataclasses.replace(cfg.optim, **optim_extra)
             )
         cfg, flops = _uniform_cfg_at_flops(cfg, TARGET_MFLOPS * 1e6)
         print(f"[diag] {name}: act={act} se={se} lr={cfg.optim.base_lr} "
@@ -113,7 +127,7 @@ def main(argv=None) -> dict:
             "top1": s["final_top1"], "top5": s["final_top5"],
             "mflops": flops / 1e6, "base_lr": cfg.optim.base_lr,
             **{k: (v if not isinstance(v, bool) else int(v))
-               for k, v in extra.items()},
+               for k, v in {**extra, **optim_extra}.items()},
         }
         print(f"[diag] {name}: top1={s['final_top1']:.4f}", flush=True)
 

@@ -70,14 +70,18 @@ if [ ! -f $LAT/summary.json ]; then
   # grad clip: ceiling events amputate trained atoms; the gradient shock
   # diverged to NaN within 44 steps unclipped (attempt 2, config.py note)
   # min_atoms=8 keeps the stride-2 trunk from being priced to a 1-channel
-  # bottleneck; ramp=20 arrives at the ms budget by epoch 22 so the net
-  # has ~18 epochs to consolidate after the last ceiling amputation
+  # bottleneck; ramp MUST match the FLOPs control's 28 (jpeg_hard.yml).
+  # The original ramp=20 ("land early, consolidate after") was measured
+  # WRONG in round 4: the steeper ramp causes a 20-40 pp mid-ramp eval
+  # crash the net never fully recovers from, while the control's ramp=28
+  # descends without any crash — the v1-v5 accuracy losses were schedule
+  # confound, not ms pricing (see PARITY.md latency section, v6).
   python -m atomnas_tpu.cli.train --config $CFG \
     search.cost_metric=latency search.latency_budget_ms=$BUDGET \
     search.latency_lut_path=$OUT/lut.json \
     search.budget_ceiling=true \
     search.min_atoms_nonresidual=8 \
-    search.budget_ramp_epochs=20 \
+    search.budget_ramp_epochs=28 \
     optim.grad_clip_norm=5.0 \
     search.latency_lut_batch=64 run.log_dir=$LAT
 fi

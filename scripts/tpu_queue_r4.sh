@@ -227,13 +227,17 @@ fi
 # uniform leg's capped gates STILL binarize (p05/p95 at sigmoid(-+4)).
 # Full-schedule legs separating trunk vs gates vs cap value:
 #   swish              trunk alone at 40 ep (never measured past 14 ep)
+#   swish_clip         swish + grad_clip 5 (is the ~step-3276 crash a
+#                      gradient spike? every surviving search run clips)
 #   se                 relu6 + uncapped SE (does SE binarize w/o swish?)
 #   se_cap4_zero       capped gates under the known-good relu6 trunk
 #   swish_se_cap2_zero gate floor 0.12 - saturation cannot kill a channel
+#   swish_se_cap2_zero_clip  full candidate recipe + clip
 if [ ! -f runs/diag_plus40/diag_plus.json ]; then
-    log "job 7: 40-epoch plus-recipe controls (4 legs)"
+    log "job 7: 40-epoch plus-recipe controls (6 legs)"
     python scripts/diag_plus.py --out runs/diag_plus40 --epochs 40 --lrs \
-        --legs swish se se_cap4_zero swish_se_cap2_zero
+        --legs swish swish_clip se se_cap4_zero swish_se_cap2_zero \
+               swish_se_cap2_zero_clip
 else
     log "job 7: done (runs/diag_plus40/diag_plus.json)"
 fi
