@@ -220,6 +220,50 @@ if [ -f $V6/summary.json ] && [ ! -f $C6/comparison.json ]; then
     python scripts/latsearch_snapshot.py snapshot
 fi
 
+# ---- job 10: v6 seed robustness (seeds 1,2) -------------------------------
+# The 16 MF FLOPs-searched control's own 3-seed spread is 6.5 pp
+# (runs/seed_rob_16mf + r3b_16mf: 0.9185 / 0.970 / 0.9835), so a single
+# latency draw cannot support (or refute) an accuracy-parity claim.
+# 3 v6 draws vs the existing 3 control draws makes it distributional.
+# Gated only on the v6 protocol having completed once (comparison.json),
+# NOT on its top1 — the distribution matters either way.
+if [ -f artifacts/latency_search_v6/comparison.json ]; then
+    for S in 1 2; do
+        VS=runs/latsearch_15mf_v6_s$S
+        CS=artifacts/latency_search_v6_s$S
+        if [ ! -f $VS/summary.json ]; then
+            log "job 10: v6 seed $S latency search"
+            [ -f runs/latref_15mf/summary.json ] || python scripts/latsearch_snapshot.py restore
+            BUDGET=$(python -c "
+import json
+print(json.load(open('artifacts/latency_search_r3/pricing.json'))['reference_net_model_ms'])")
+            python -m atomnas_tpu.cli.train --config configs/jpeg_hard.yml \
+                search.cost_metric=latency search.latency_budget_ms=$BUDGET \
+                search.latency_lut_path=artifacts/latency_search_r3/lut.json \
+                search.budget_ceiling=true \
+                search.min_atoms_nonresidual=8 \
+                search.budget_ramp_epochs=28 \
+                search.latency_pressure_temper=1.0 \
+                optim.grad_clip_norm=5.0 \
+                run.seed=$S \
+                search.latency_lut_batch=64 run.log_dir=$VS
+            python scripts/latsearch_snapshot.py snapshot
+        else
+            log "job 10: seed $S search leg done ($VS/summary.json)"
+        fi
+        if [ -f $VS/summary.json ] && [ ! -f $CS/comparison.json ]; then
+            log "job 10: compare v6 seed $S vs FLOPs reference"
+            mkdir -p $CS
+            cp -n artifacts/latency_search_r3/pricing.json $CS/ 2>/dev/null || true
+            python scripts/latency_search_demo.py compare --run $VS \
+                --reference-run runs/latref_15mf --out $CS
+            python scripts/latsearch_snapshot.py snapshot
+        fi
+    done
+else
+    log "job 10: SKIPPED (v6 comparison not landed yet)"
+fi
+
 # ---- job 7: 40-epoch plus-recipe controls (runs AFTER job 8: single runs
 # answer the flagship question; these isolate the plus stall) ---------------
 # The 40-epoch ablation inverted the 14-epoch diag: random (supernet-init-
@@ -240,6 +284,42 @@ if [ ! -f runs/diag_plus40/diag_plus.json ]; then
                swish_se_cap2_zero_clip
 else
     log "job 7: done (runs/diag_plus40/diag_plus.json)"
+fi
+
+# ---- job 11: v7 — RAW ms pressure (temper off) at the matched ramp --------
+# Scientific completeness for the deconfounded comparison: v6/v6-seeds test
+# FLOPs-shaped pressure (T=1) under the ms budget; v7 tests the ORIGINAL
+# v2/v3 mechanism (raw ~15x ms/FLOP per-atom tilt) with only the schedule
+# fixed. If v7 also recovers, the round-3 "ms pressure starves the trunk"
+# diagnosis was itself the ramp crash in disguise; if v7 still loses while
+# v6 wins, pressure SHAPE matters and the temper dial earns its keep.
+V7=runs/latsearch_15mf_v7
+C7=artifacts/latency_search_v7
+if [ ! -f $V7/summary.json ]; then
+    log "job 11: v7 raw-pressure latency search (ramp 28)"
+    [ -f runs/latref_15mf/summary.json ] || python scripts/latsearch_snapshot.py restore
+    BUDGET=$(python -c "
+import json
+print(json.load(open('artifacts/latency_search_r3/pricing.json'))['reference_net_model_ms'])")
+    python -m atomnas_tpu.cli.train --config configs/jpeg_hard.yml \
+        search.cost_metric=latency search.latency_budget_ms=$BUDGET \
+        search.latency_lut_path=artifacts/latency_search_r3/lut.json \
+        search.budget_ceiling=true \
+        search.min_atoms_nonresidual=8 \
+        search.budget_ramp_epochs=28 \
+        optim.grad_clip_norm=5.0 \
+        search.latency_lut_batch=64 run.log_dir=$V7
+    python scripts/latsearch_snapshot.py snapshot
+else
+    log "job 11: search leg done ($V7/summary.json)"
+fi
+if [ -f $V7/summary.json ] && [ ! -f $C7/comparison.json ]; then
+    log "job 11: compare v7 vs FLOPs reference"
+    mkdir -p $C7
+    cp -n artifacts/latency_search_r3/pricing.json $C7/ 2>/dev/null || true
+    python scripts/latency_search_demo.py compare --run $V7 \
+        --reference-run runs/latref_15mf --out $C7
+    python scripts/latsearch_snapshot.py snapshot
 fi
 
 log "queue complete"
