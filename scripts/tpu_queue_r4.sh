@@ -280,10 +280,31 @@ fi
 if [ ! -f runs/diag_plus40/diag_plus.json ]; then
     log "job 7: 40-epoch plus-recipe controls (6 legs)"
     python scripts/diag_plus.py --out runs/diag_plus40 --epochs 40 --lrs \
-        --legs swish swish_clip se se_cap4_zero swish_se_cap2_zero \
+        --legs swish swish_clip se_cap4_zero swish_se_cap2_zero \
                swish_se_cap2_zero_clip
 else
     log "job 7: done (runs/diag_plus40/diag_plus.json)"
+fi
+
+# ---- job 12: corrected plus ablation, gated on the 40-epoch recipe pick ---
+# scripts/select_plus_recipe40.py applies a PRE-COMMITTED decision rule to
+# the job-7 matrix: bake the best passing recipe into jpeg_hard_plus.yml
+# (marker configs/.plus_recipe40) or leave the negative result standing.
+# Fresh out dir — runs/ablate_plus_8mf keeps the cap4+zero failure record.
+if [ ! -f configs/.plus_recipe40 ] && [ -f runs/diag_plus40/diag_plus.json ]; then
+    log "job 12: selecting plus recipe from the 40-epoch diag"
+    python scripts/select_plus_recipe40.py
+fi
+if [ -f configs/.plus_recipe40 ]; then
+    if [ ! -f runs/ablate_plus40fix_8mf/ablation.json ]; then
+        log "job 12: plus-variant ablation @ 8 MF (40-epoch-selected recipe)"
+        python scripts/ablate_search.py \
+            --config configs/jpeg_hard_plus.yml --out runs/ablate_plus40fix_8mf
+    else
+        log "job 12: done (runs/ablate_plus40fix_8mf/ablation.json)"
+    fi
+else
+    log "job 12: SKIPPED (no plus recipe passed the 40-epoch gate)"
 fi
 
 # ---- job 11: v7 — RAW ms pressure (temper off) at the matched ramp --------
