@@ -343,4 +343,7 @@ if [ -f $V7/summary.json ] && [ ! -f $C7/comparison.json ]; then
     python scripts/latsearch_snapshot.py snapshot
 fi
 
+# refresh the distributional verdict artifact from whatever has landed
+python scripts/latency_verdict.py || true
+
 log "queue complete"
