@@ -245,6 +245,26 @@ class SearchConfig:
     # at later events (including after the ramp ends) until the budget is
     # met. >= 1 disables the cap.
     ceiling_max_kill_frac: float = 0.05
+    # Ceiling HEADROOM: enforce target*(1+h) instead of the target itself
+    # during the ramp. Measured motivation (v6 post-mortem, round 4): with
+    # h=0 the ceiling pins live cost TO the ramp target, so the adaptive
+    # controller's relative overshoot — and with it rho — sits at ~0
+    # (rho = penalty*clip((live-target)/target,0,2)); gammas never get
+    # crushed before their atoms die, and EVERY kill amputates trained
+    # weights (v6: 9392 ceiling kills vs 54 threshold kills, a 40+ pp
+    # mid-ramp eval crash). The no-ceiling FLOPs control runs +3..+22%
+    # above its target throughout the ramp, keeping rho alive, and kills
+    # almost exclusively by threshold. Headroom restores that dynamic
+    # under a ceiling: natural penalty-driven descent while live stays
+    # inside [target, target*(1+h)], hard enforcement only against
+    # runaway. 0 keeps the old exact-pinning behavior.
+    ceiling_headroom: float = 0.0
+    # After the budget ramp ends, decay the headroom linearly to 0 over
+    # this many epochs so the final landing guarantee (live <= budget) is
+    # preserved; by then the penalty has had the whole ramp to crush the
+    # cheapest gammas, so the trim is benign. 0 = drop to 0 immediately
+    # at ramp end.
+    ceiling_headroom_decay_epochs: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

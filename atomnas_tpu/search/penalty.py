@@ -106,6 +106,38 @@ def budget_target(
     return supernet_cost + frac * (budget - supernet_cost)
 
 
+def ceiling_cap(
+    scfg,
+    floor: float,
+    step: int,
+    steps_per_epoch: int,
+) -> float:
+    """Ceiling enforcement value at ``step``: ``floor * (1 + h(step))``.
+
+    ``h(step)`` is ``scfg.ceiling_headroom`` while the budget ramp is
+    running, then decays linearly to 0 over
+    ``scfg.ceiling_headroom_decay_epochs`` after the ramp ends (see the
+    SearchConfig field comments for the measured v6 motivation: a 0-headroom
+    ceiling pins live==target, starves the adaptive rho, and turns every
+    kill into a trained-atom amputation). Host-side arithmetic only — the
+    cap is consumed at shrink events, never inside jit.
+    """
+    h = float(getattr(scfg, "ceiling_headroom", 0.0))
+    if h <= 0:
+        return float(floor)
+    ramp_end = (
+        scfg.budget_warmup_epochs + max(scfg.budget_ramp_epochs, 0.0)
+    ) * steps_per_epoch
+    decay = scfg.ceiling_headroom_decay_epochs * steps_per_epoch
+    if step <= ramp_end:
+        left = 1.0
+    elif decay > 0:
+        left = max(1.0 - (float(step) - ramp_end) / decay, 0.0)
+    else:
+        left = 0.0
+    return float(floor) * (1.0 + h * left)
+
+
 def penalty_term(
     params: Params,
     masks: Dict[str, jax.Array],

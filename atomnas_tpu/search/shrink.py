@@ -50,6 +50,7 @@ def update_masks(
     atom_costs: Dict[str, np.ndarray] | None = None,
     live_cost_fn=None,
     provenance: Dict[str, int] | None = None,
+    ceiling_cap: float | None = None,
 ) -> Dict[str, jax.Array]:
     """One shrink event: kill atoms whose |gamma| fell below the threshold.
 
@@ -74,6 +75,12 @@ def update_masks(
     (latency mode passes per-atom ms and a LUT-interp live-ms fn —
     search/latency.py); default is the analytic FLOPs surface. The floor,
     the costs and the live metric must share one unit.
+
+    ``ceiling_cap`` overrides the value the CEILING enforces (default: the
+    floor). The headroom schedule (search/penalty.py::ceiling_cap) passes
+    ``floor * (1 + h)`` so the adaptive controller keeps a live overshoot
+    signal during the ramp instead of being pinned to 0 — see the
+    SearchConfig.ceiling_headroom comment for the measured failure mode.
 
     ``provenance``, when given, is filled with per-mechanism atom counts
     for this event (``threshold_killed``, ``floor_revived``,
@@ -138,8 +145,9 @@ def update_masks(
                 if cfg.ceiling_max_kill_frac < 1.0
                 else alive_now
             )
+            cap = floor if ceiling_cap is None else max(ceiling_cap, floor)
             new_masks = _budget_ceiling(
-                params, new_masks, arch, floor, input_size,
+                params, new_masks, arch, cap, input_size,
                 cfg.min_atoms_nonresidual, max_kill=max_kill,
                 atom_costs=atom_costs, live_cost_fn=live_cost_fn,
             )

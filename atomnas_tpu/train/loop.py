@@ -347,7 +347,7 @@ class Experiment:
 
     def _shrink_event(self, step: int) -> None:
         cfg = self.cfg
-        from atomnas_tpu.search.penalty import budget_target
+        from atomnas_tpu.search.penalty import budget_target, ceiling_cap
 
         # floor at the ramp's CURRENT target (== the budget once the ramp
         # completes, and exactly the budget when the ramp is disabled) so
@@ -369,6 +369,9 @@ class Experiment:
                 atom_costs=lat_costs,
                 live_cost_fn=self._lut_ms,
                 provenance=provenance,
+                ceiling_cap=ceiling_cap(
+                    cfg.search, float(floor), step, self.steps_per_epoch
+                ),
             )
         else:
             floor = budget_target(
@@ -380,6 +383,9 @@ class Experiment:
                 input_size=cfg.model.input_size,
                 budget_floor=float(floor),
                 provenance=provenance,
+                ceiling_cap=ceiling_cap(
+                    cfg.search, float(floor), step, self.steps_per_epoch
+                ),
             )
         self.state = self.state.replace(
             masks=new_masks, shrink_events=self.state.shrink_events + 1

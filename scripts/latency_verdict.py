@@ -32,11 +32,16 @@ DRAWS = {
     "v3 raw ms pressure, ramp20": ("artifacts/latency_search_r3/comparison.json", False),
     "v4 T=2 tempered, ramp20": ("artifacts/latency_search_r4/comparison.json", False),
     "v5 T=1 FLOPs-shaped, ramp20": ("artifacts/latency_search_v5/comparison.json", False),
-    "v6 T=1 FLOPs-shaped, ramp28": ("artifacts/latency_search_v6/comparison.json", True),
-    "v6 seed1": ("artifacts/latency_search_v6_s1/comparison.json", True),
-    "v6 seed2": ("artifacts/latency_search_v6_s2/comparison.json", True),
-    "v7 raw ms pressure, ramp28": ("artifacts/latency_search_v7/comparison.json", True),
+    "v6 T=1 FLOPs-shaped, ramp28": ("artifacts/latency_search_v6/comparison.json", False),
+    "v8 T=1, ramp28, headroom": ("artifacts/latency_search_v8/comparison.json", True),
+    "v8 seed1": ("artifacts/latency_search_v8_s1/comparison.json", True),
+    "v8 seed2": ("artifacts/latency_search_v8_s2/comparison.json", True),
+    "v8r raw ms pressure, ramp28, headroom": ("artifacts/latency_search_v8r/comparison.json", True),
 }
+# "deconfounded" now means BOTH fixes applied: ramp matched to the
+# control's 28 AND ceiling headroom (v6 showed ramp-matching alone leaves
+# the zero-headroom ceiling starving the adaptive rho — 9858/54
+# ceiling/threshold kills, PARITY.md v6 post-mortem).
 
 
 def _load_control_seeds() -> dict:
@@ -77,7 +82,7 @@ def main() -> dict:
     ref = json.loads((REPO / "artifacts/latency_search_r3/comparison.json").read_text())["flops_searched"]
 
     deconf_top1 = [d["top1"] for l, d in draws.items()
-                   if d["deconfounded"] and l.startswith("v6")]
+                   if d["deconfounded"] and l.startswith("v8")]
     control_top1 = [c["top1"] for c in control.values()]
     out = {
         "ms_budget": ref["lut_ms"],

@@ -46,9 +46,10 @@ LEGS = (
     "latsearch_15mf_v4",  # round-4 tempered-pressure draw
     "latsearch_15mf_v5",  # round-4 T=1 (pure FLOPs pressure, ms budget)
     "latsearch_15mf_v6",  # round-4 T=1 + matched ramp 28 (schedule confound fix)
-    "latsearch_15mf_v6_s1",  # v6 seed draws: the claim must be distributional
-    "latsearch_15mf_v6_s2",
-    "latsearch_15mf_v7",  # raw ms pressure at the matched ramp (deconfounded v3)
+    "latsearch_15mf_v8",  # v6 + ceiling headroom (the rho-starvation fix)
+    "latsearch_15mf_v8_s1",  # v8 seed draws: the claim must be distributional
+    "latsearch_15mf_v8_s2",
+    "latsearch_15mf_v8r",  # raw ms pressure + headroom (pressure-shape probe)
 )
 # small per-run streams worth keeping for the artifact record
 AUX = ("metrics_train.csv", "metrics_eval.csv", "arch_events.jsonl",

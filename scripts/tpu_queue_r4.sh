@@ -220,19 +220,62 @@ if [ -f $V6/summary.json ] && [ ! -f $C6/comparison.json ]; then
     python scripts/latsearch_snapshot.py snapshot
 fi
 
-# ---- job 10: v6 seed robustness (seeds 1,2) -------------------------------
+# ---- job 13: v8 — v6 + ceiling HEADROOM (the rho-starvation fix) ----------
+# v6 post-mortem (PARITY.md): with zero headroom the ceiling pins live==
+# target at every event, the adaptive controller's overshoot signal sits
+# at ~0, rho never crushes gammas, and every kill amputates trained atoms
+# (v6: 9858 ceiling kills vs 54 threshold kills -> 0.838 vs 0.970, crash
+# to 0.28 mid-ramp). The FLOPs control runs +3..+22% over its ramp target
+# and kills by threshold. v8 = v6 with search.ceiling_headroom=0.25
+# (ceiling enforces target*1.25 during the ramp; penalty does the real
+# descent) decaying to exact enforcement over 4 epochs after the ramp.
+# Single-variable change vs v6. Success = threshold kills dominate the
+# provenance and top1 approaches the 0.970 control at <= 12.51 LUT ms.
+V8=runs/latsearch_15mf_v8
+C8=artifacts/latency_search_v8
+if [ ! -f $V8/summary.json ]; then
+    log "job 13: v8 latency search (T=1, ramp 28, headroom 0.25/4)"
+    [ -f runs/latref_15mf/summary.json ] || python scripts/latsearch_snapshot.py restore
+    BUDGET=$(python -c "
+import json
+print(json.load(open('artifacts/latency_search_r3/pricing.json'))['reference_net_model_ms'])")
+    python -m atomnas_tpu.cli.train --config configs/jpeg_hard.yml \
+        search.cost_metric=latency search.latency_budget_ms=$BUDGET \
+        search.latency_lut_path=artifacts/latency_search_r3/lut.json \
+        search.budget_ceiling=true \
+        search.min_atoms_nonresidual=8 \
+        search.budget_ramp_epochs=28 \
+        search.latency_pressure_temper=1.0 \
+        search.ceiling_headroom=0.25 \
+        search.ceiling_headroom_decay_epochs=4 \
+        optim.grad_clip_norm=5.0 \
+        search.latency_lut_batch=64 run.log_dir=$V8
+    python scripts/latsearch_snapshot.py snapshot
+else
+    log "job 13: search leg done ($V8/summary.json)"
+fi
+if [ -f $V8/summary.json ] && [ ! -f $C8/comparison.json ]; then
+    log "job 13: compare v8 vs FLOPs reference"
+    mkdir -p $C8
+    cp -n artifacts/latency_search_r3/pricing.json $C8/ 2>/dev/null || true
+    python scripts/latency_search_demo.py compare --run $V8 \
+        --reference-run runs/latref_15mf --out $C8
+    python scripts/latsearch_snapshot.py snapshot
+fi
+
+# ---- job 14: v8 seed robustness (seeds 1,2) -------------------------------
 # The 16 MF FLOPs-searched control's own 3-seed spread is 6.5 pp
 # (runs/seed_rob_16mf + r3b_16mf: 0.9185 / 0.970 / 0.9835), so a single
 # latency draw cannot support (or refute) an accuracy-parity claim.
-# 3 v6 draws vs the existing 3 control draws makes it distributional.
-# Gated only on the v6 protocol having completed once (comparison.json),
+# 3 v8 draws vs the existing 3 control draws makes it distributional.
+# Gated only on the v8 protocol having completed once (comparison.json),
 # NOT on its top1 — the distribution matters either way.
-if [ -f artifacts/latency_search_v6/comparison.json ]; then
+if [ -f artifacts/latency_search_v8/comparison.json ]; then
     for S in 1 2; do
-        VS=runs/latsearch_15mf_v6_s$S
-        CS=artifacts/latency_search_v6_s$S
+        VS=runs/latsearch_15mf_v8_s$S
+        CS=artifacts/latency_search_v8_s$S
         if [ ! -f $VS/summary.json ]; then
-            log "job 10: v6 seed $S latency search"
+            log "job 14: v8 seed $S latency search"
             [ -f runs/latref_15mf/summary.json ] || python scripts/latsearch_snapshot.py restore
             BUDGET=$(python -c "
 import json
@@ -244,15 +287,17 @@ print(json.load(open('artifacts/latency_search_r3/pricing.json'))['reference_net
                 search.min_atoms_nonresidual=8 \
                 search.budget_ramp_epochs=28 \
                 search.latency_pressure_temper=1.0 \
+                search.ceiling_headroom=0.25 \
+                search.ceiling_headroom_decay_epochs=4 \
                 optim.grad_clip_norm=5.0 \
                 run.seed=$S \
                 search.latency_lut_batch=64 run.log_dir=$VS
             python scripts/latsearch_snapshot.py snapshot
         else
-            log "job 10: seed $S search leg done ($VS/summary.json)"
+            log "job 14: seed $S search leg done ($VS/summary.json)"
         fi
         if [ -f $VS/summary.json ] && [ ! -f $CS/comparison.json ]; then
-            log "job 10: compare v6 seed $S vs FLOPs reference"
+            log "job 14: compare v8 seed $S vs FLOPs reference"
             mkdir -p $CS
             cp -n artifacts/latency_search_r3/pricing.json $CS/ 2>/dev/null || true
             python scripts/latency_search_demo.py compare --run $VS \
@@ -261,7 +306,7 @@ print(json.load(open('artifacts/latency_search_r3/pricing.json'))['reference_net
         fi
     done
 else
-    log "job 10: SKIPPED (v6 comparison not landed yet)"
+    log "job 14: SKIPPED (v8 comparison not landed yet)"
 fi
 
 # ---- job 7: 40-epoch plus-recipe controls (runs AFTER job 8: single runs
@@ -307,17 +352,19 @@ else
     log "job 12: SKIPPED (no plus recipe passed the 40-epoch gate)"
 fi
 
-# ---- job 11: v7 — RAW ms pressure (temper off) at the matched ramp --------
-# Scientific completeness for the deconfounded comparison: v6/v6-seeds test
-# FLOPs-shaped pressure (T=1) under the ms budget; v7 tests the ORIGINAL
-# v2/v3 mechanism (raw ~15x ms/FLOP per-atom tilt) with only the schedule
-# fixed. If v7 also recovers, the round-3 "ms pressure starves the trunk"
-# diagnosis was itself the ramp crash in disguise; if v7 still loses while
-# v6 wins, pressure SHAPE matters and the temper dial earns its keep.
-V7=runs/latsearch_15mf_v7
-C7=artifacts/latency_search_v7
-if [ ! -f $V7/summary.json ]; then
-    log "job 11: v7 raw-pressure latency search (ramp 28)"
+# ---- job 15: v8r — RAW ms pressure + headroom (pressure-shape probe) ------
+# Scientific completeness for the deconfounded comparison: v8/v8-seeds test
+# FLOPs-shaped pressure (T=1) under the ms budget with a healthy
+# controller; v8r tests the ORIGINAL v2/v3 mechanism (raw ~15x ms/FLOP
+# per-atom tilt) with both the schedule AND the ceiling fixed. If v8r also
+# recovers, the round-3 "ms pressure starves the trunk" diagnosis was the
+# ceiling amputation in disguise — and raw pressure is the preferable
+# mechanism (it actually optimizes ms); if v8r still loses while v8 wins,
+# pressure SHAPE matters and the temper dial earns its keep.
+V8R=runs/latsearch_15mf_v8r
+C8R=artifacts/latency_search_v8r
+if [ ! -f $V8R/summary.json ]; then
+    log "job 15: v8r raw-pressure latency search (ramp 28, headroom 0.25/4)"
     [ -f runs/latref_15mf/summary.json ] || python scripts/latsearch_snapshot.py restore
     BUDGET=$(python -c "
 import json
@@ -328,18 +375,20 @@ print(json.load(open('artifacts/latency_search_r3/pricing.json'))['reference_net
         search.budget_ceiling=true \
         search.min_atoms_nonresidual=8 \
         search.budget_ramp_epochs=28 \
+        search.ceiling_headroom=0.25 \
+        search.ceiling_headroom_decay_epochs=4 \
         optim.grad_clip_norm=5.0 \
-        search.latency_lut_batch=64 run.log_dir=$V7
+        search.latency_lut_batch=64 run.log_dir=$V8R
     python scripts/latsearch_snapshot.py snapshot
 else
-    log "job 11: search leg done ($V7/summary.json)"
+    log "job 15: search leg done ($V8R/summary.json)"
 fi
-if [ -f $V7/summary.json ] && [ ! -f $C7/comparison.json ]; then
-    log "job 11: compare v7 vs FLOPs reference"
-    mkdir -p $C7
-    cp -n artifacts/latency_search_r3/pricing.json $C7/ 2>/dev/null || true
-    python scripts/latency_search_demo.py compare --run $V7 \
-        --reference-run runs/latref_15mf --out $C7
+if [ -f $V8R/summary.json ] && [ ! -f $C8R/comparison.json ]; then
+    log "job 15: compare v8r vs FLOPs reference"
+    mkdir -p $C8R
+    cp -n artifacts/latency_search_r3/pricing.json $C8R/ 2>/dev/null || true
+    python scripts/latency_search_demo.py compare --run $V8R \
+        --reference-run runs/latref_15mf --out $C8R
     python scripts/latsearch_snapshot.py snapshot
 fi
 

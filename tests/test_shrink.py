@@ -252,6 +252,58 @@ def test_update_masks_budget_ceiling():
     assert F.model_flops(arch, size, jax.device_get(m_cap)) > target
 
 
+def test_update_masks_ceiling_cap_and_headroom_schedule():
+    """``ceiling_cap`` makes the ceiling enforce target*(1+h) instead of
+    the target: with headroom the live cost settles in (cap - atom, cap]
+    — ABOVE the floor — so the adaptive controller keeps a nonzero
+    overshoot signal (the v6 rho-starvation post-mortem, see
+    SearchConfig.ceiling_headroom). The schedule helper holds h during
+    the ramp and decays it linearly to 0 afterwards."""
+    from atomnas_tpu.search.penalty import ceiling_cap as cap_fn
+
+    mcfg, arch, params, stats, masks = build()
+    params = scatter_gammas(params)
+    size = mcfg.input_size
+    cfg_inert = SearchConfig(prune_threshold=1e-9, min_atoms_nonresidual=1)
+    m_plain = shrink.update_masks(params, masks, arch, cfg_inert,
+                                  input_size=size)
+    fl_plain = F.model_flops(arch, size, jax.device_get(m_plain))
+    target = fl_plain * 0.6
+    cfg = SearchConfig(prune_threshold=1e-9, min_atoms_nonresidual=1,
+                       flops_budget=target, budget_ceiling=True,
+                       ceiling_max_kill_frac=1.0)
+    cap = target * 1.25
+    m = shrink.update_masks(params, masks, arch, cfg, input_size=size,
+                            ceiling_cap=cap)
+    fl = F.model_flops(arch, size, jax.device_get(m))
+    max_atom = max(
+        float(np.max(c)) for c in F.atom_flops(arch, size).values() if c.size
+    )
+    assert cap - max_atom < fl <= cap, (fl, cap, max_atom)
+    assert fl > target  # headroom leaves a live overshoot above the floor
+    # a cap below the floor is clamped to the floor (never cuts past it)
+    m_lo = shrink.update_masks(params, masks, arch, cfg, input_size=size,
+                               ceiling_cap=target * 0.5)
+    fl_lo = F.model_flops(arch, size, jax.device_get(m_lo))
+    assert target - max_atom < fl_lo <= target
+
+    # schedule: h constant during the ramp, linear decay after, 0 at end
+    scfg = SearchConfig(budget_warmup_epochs=2, budget_ramp_epochs=28,
+                        ceiling_headroom=0.25,
+                        ceiling_headroom_decay_epochs=4)
+    spe = 100
+    assert cap_fn(scfg, 10.0, 0, spe) == pytest.approx(12.5)
+    assert cap_fn(scfg, 10.0, 30 * spe, spe) == pytest.approx(12.5)
+    assert cap_fn(scfg, 10.0, 32 * spe, spe) == pytest.approx(11.25)
+    assert cap_fn(scfg, 10.0, 34 * spe, spe) == pytest.approx(10.0)
+    assert cap_fn(scfg, 10.0, 40 * spe, spe) == pytest.approx(10.0)
+    # zero headroom or no decay: cap == floor right after the ramp
+    scfg0 = dataclasses.replace(scfg, ceiling_headroom=0.0)
+    assert cap_fn(scfg0, 10.0, 10 * spe, spe) == 10.0
+    scfg_nd = dataclasses.replace(scfg, ceiling_headroom_decay_epochs=0.0)
+    assert cap_fn(scfg_nd, 10.0, 30 * spe + 1, spe) == 10.0
+
+
 def test_update_masks_kill_provenance():
     """``provenance`` out-param records per-mechanism atom counts
     (threshold_killed / floor_revived / ceiling_killed) that reconcile
