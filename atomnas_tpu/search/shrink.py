@@ -167,8 +167,9 @@ def _budget_floor(
     live_cost_fn=None,
 ) -> Dict[str, jax.Array]:
     """Spare the atoms dying THIS event with the highest BLOCK-NORMALIZED
-    |gamma| (gamma over the block's pre-event alive median) until the live
-    cost stays >= ``floor``. Runs host-side (shrink events are outside
+    |gamma| (gamma over the block's post-event survivor median, the same
+    population ``_budget_ceiling`` uses — see the inline comment) until the
+    live cost stays >= ``floor``. Runs host-side (shrink events are outside
     jit); only atoms alive before the event are candidates, so
     monotonicity is preserved. Cost surface: analytic FLOPs by default;
     per-atom ``atom_costs`` + ``live_cost_fn(masks)->cost`` when given

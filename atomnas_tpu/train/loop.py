@@ -362,6 +362,9 @@ class Experiment:
             lat_costs = latlib.atom_ms(
                 self.latency_lut, self.arch, cfg.model.input_size
             )
+            cap = ceiling_cap(
+                cfg.search, float(floor), step, self.steps_per_epoch
+            )
             provenance: dict = {}
             new_masks = shrinklib.update_masks(
                 self.state.params, self.state.masks, self.arch, cfg.search,
@@ -369,13 +372,14 @@ class Experiment:
                 atom_costs=lat_costs,
                 live_cost_fn=self._lut_ms,
                 provenance=provenance,
-                ceiling_cap=ceiling_cap(
-                    cfg.search, float(floor), step, self.steps_per_epoch
-                ),
+                ceiling_cap=cap,
             )
         else:
             floor = budget_target(
                 cfg.search, self.supernet_flops, step, self.steps_per_epoch
+            )
+            cap = ceiling_cap(
+                cfg.search, float(floor), step, self.steps_per_epoch
             )
             provenance = {}
             new_masks = shrinklib.update_masks(
@@ -383,9 +387,7 @@ class Experiment:
                 input_size=cfg.model.input_size,
                 budget_floor=float(floor),
                 provenance=provenance,
-                ceiling_cap=ceiling_cap(
-                    cfg.search, float(floor), step, self.steps_per_epoch
-                ),
+                ceiling_cap=cap,
             )
         self.state = self.state.replace(
             masks=new_masks, shrink_events=self.state.shrink_events + 1
@@ -395,7 +397,11 @@ class Experiment:
         masks_host = jax.device_get(new_masks)
         live_fl = F.model_flops(self.arch, cfg.model.input_size, masks_host)
         alive = int(sum(m.sum() for m in masks_host.values()))
-        arch_event = {"alive_atoms": alive, "live_mflops": live_fl / 1e6}
+        # ramp target + enforced cap, so kill-provenance post-mortems (the
+        # v6 rho-starvation analysis) can read the controller's inputs
+        # straight from arch_events.jsonl instead of re-deriving them
+        arch_event = {"alive_atoms": alive, "live_mflops": live_fl / 1e6,
+                      "ramp_target": float(floor), "ceiling_cap": float(cap)}
         arch_event.update(provenance)
         prov_str = (
             " [-%d thresh +%d floor -%d ceil]" % (
