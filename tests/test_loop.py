@@ -105,6 +105,63 @@ def test_search_smoke_with_reslice_and_resume(tmp_path):
 
 
 @pytest.mark.slow
+def test_search_driver_ceiling_headroom_corridor(tmp_path):
+    """Ceiling + headroom through the FULL driver (the v8 recipe shape,
+    PARITY.md "Latency-aware search" v8 section): during the budget ramp
+    the ceiling enforces target*(1+h) (arch events record both), the
+    headroom decays to exact enforcement after the ramp, and the final
+    net still lands at/under the budget."""
+    over = {
+        "optim.epochs": 4,
+        "search.enabled": True,
+        "search.penalty": 0.05,
+        "search.prune_threshold": 1.5,
+        "search.flops_budget": 180000.0,
+        "search.budget_ceiling": True,
+        "search.ceiling_headroom": 0.3,
+        "search.ceiling_headroom_decay_epochs": 1.0,
+        "search.budget_warmup_epochs": 0.25,
+        "search.budget_ramp_epochs": 2.0,
+        "search.shrink_interval_steps": 2,
+        "search.reslice_every_events": 0,
+    }
+    cfg = make_cfg(tmp_path, **over)
+    summary = train_and_eval(cfg)
+    assert summary["final_step"] == 16
+    # landing guarantee survives the corridor: at/under budget at the end
+    assert summary["final_mflops"] * 1e6 <= 180000.0 + 1e-6
+
+    from atomnas_tpu.models.arch import supernet_arch
+    from atomnas_tpu.ops import flops as F
+
+    arch = supernet_arch(cfg.model)
+    max_atom = max(
+        float(np.max(c))
+        for c in F.atom_flops(arch, cfg.model.input_size).values() if c.size
+    )
+    run = pathlib.Path(cfg.run.log_dir)
+    events = [json.loads(l) for l in
+              (run / "arch_events.jsonl").read_text().strip().splitlines()]
+    assert len(events) >= 4
+    in_corridor = 0
+    for e in events:
+        # controller inputs are recorded with the kill provenance
+        assert {"ramp_target", "ceiling_cap", "threshold_killed",
+                "floor_revived", "ceiling_killed"} <= set(e)
+        assert e["ceiling_cap"] >= e["ramp_target"] - 1e-9
+        # the ceiling never leaves live above the cap by more than the
+        # floor's one-revive granularity
+        assert e["live_mflops"] * 1e6 <= e["ceiling_cap"] + max_atom
+        if e["ceiling_cap"] > e["ramp_target"] * 1.01:
+            in_corridor += 1
+    # headroom was actually active during the ramp...
+    assert in_corridor >= 2
+    # ...and fully decayed by the final event (exact enforcement again)
+    assert events[-1]["ceiling_cap"] == pytest.approx(
+        events[-1]["ramp_target"])
+
+
+@pytest.mark.slow
 def test_search_driver_swish_se_variant(tmp_path):
     """The '+' variant (Swish + squeeze-excite, reference A+/B+/C+ configs
     — SURVEY.md sec 0/sec 2.1 configs row) through the FULL driver: search,
