@@ -265,6 +265,22 @@ class SearchConfig:
     # cheapest gammas, so the trim is benign. 0 = drop to 0 immediately
     # at ramp end.
     ceiling_headroom_decay_epochs: float = 0.0
+    # E2E-in-the-loop budget (round 4): when > 0, the budget is
+    # denominated in MEASURED end-to-end folded serving ms instead of LUT
+    # model-ms. At every re-slice event the compact net's real e2e is
+    # measured (search/latency.py::measure_arch_e2e_ms — device time
+    # depends on shapes only, so fresh params suffice) and the working
+    # LUT budget is rescaled to e2e_budget * lut_price / measured_e2e.
+    # This closes the arch-dependent cross-block composition bias that
+    # per-block LUT pricing cannot see (measured across v8 draws at equal
+    # 12.51 LUT ms: real e2e 10.36 vs 14.21 ms, -7%..+28% of the control).
+    # Requires cost_metric=latency and reslice_every_events > 0;
+    # latency_budget_ms seeds the working budget before the first
+    # re-slice (falls back to this value when 0).
+    latency_e2e_budget_ms: float = 0.0
+    # timing iterations per in-loop e2e measurement (min-of-3 chains
+    # inside; compile dominates the cost, ~20-40 s per re-slice on TPU)
+    latency_e2e_iters: int = 10
 
 
 @dataclasses.dataclass(frozen=True)

@@ -127,6 +127,8 @@ class Experiment:
             self.shrink_events = int(meta.get("shrink_events", 0))
             lut_from_meta = meta.get("latency_lut")
             self._restored_supernet_ms = meta.get("supernet_ms")
+            self._restored_latency_budget_ms = meta.get("latency_budget_ms")
+            self._restored_e2e_corrections = meta.get("e2e_corrections")
             self.log.info(
                 "restored step %d (shrink_events=%d) from %s",
                 int(state.step), self.shrink_events, restore_from,
@@ -146,6 +148,8 @@ class Experiment:
             self.shrink_events = 0
             lut_from_meta = None
             self._restored_supernet_ms = None
+            self._restored_latency_budget_ms = None
+            self._restored_e2e_corrections = None
         self._place_state()
         if cfg.search.cost_metric not in ("flops", "latency"):
             raise ValueError(
@@ -154,6 +158,8 @@ class Experiment:
             )
         self.latency_lut = None
         self.supernet_ms = 0.0
+        self.latency_budget_ms = 0.0
+        self.e2e_corrections: list = []
         if cfg.search.enabled and cfg.search.cost_metric == "latency":
             self._init_latency_lut(lut_from_meta, fresh=restore_from is None)
         self.log.info("arch:\n%s", arch_summary(self.arch))
@@ -177,10 +183,21 @@ class Experiment:
         if (
             cfg.search.penalty_schedule == "adaptive"
             and cfg.search.latency_budget_ms <= 0
+            and cfg.search.latency_e2e_budget_ms <= 0
         ):
             raise ValueError(
                 "search.cost_metric=latency with the adaptive schedule "
-                "requires search.latency_budget_ms > 0"
+                "requires search.latency_budget_ms > 0 (or an e2e budget "
+                "via search.latency_e2e_budget_ms)"
+            )
+        if (
+            cfg.search.latency_e2e_budget_ms > 0
+            and cfg.search.reslice_every_events <= 0
+        ):
+            raise ValueError(
+                "search.latency_e2e_budget_ms corrects the working budget "
+                "at re-slice events; it requires "
+                "search.reslice_every_events > 0"
             )
         if lut is None and cfg.search.latency_lut_path:
             lut = json.loads(
@@ -240,6 +257,20 @@ class Experiment:
             if self._restored_supernet_ms is not None
             else latlib.supernet_ms(lut)
         )
+        # WORKING budget in LUT model-ms: fixed in plain latency mode;
+        # rescaled at every re-slice in e2e-budget mode (see _reslice) and
+        # therefore checkpointed — a resume must NOT re-measure. Seeded
+        # with latency_budget_ms (or the e2e target itself) until the
+        # first re-slice provides a measured correction.
+        if self._restored_latency_budget_ms is not None:
+            self.latency_budget_ms = float(self._restored_latency_budget_ms)
+        elif cfg.search.latency_budget_ms > 0:
+            self.latency_budget_ms = float(cfg.search.latency_budget_ms)
+        else:
+            self.latency_budget_ms = float(cfg.search.latency_e2e_budget_ms)
+        self.e2e_corrections: list = list(
+            self._restored_e2e_corrections or []
+        )
         if fresh:
             # normalizer convention matches the FLOPs weights: mean atom
             # price over the supernet's searchable atoms at init = 1
@@ -292,6 +323,9 @@ class Experiment:
         if self.latency_lut is not None:
             extra["latency_lut"] = self.latency_lut
             extra["supernet_ms"] = self.supernet_ms
+            extra["latency_budget_ms"] = self.latency_budget_ms
+            if self.e2e_corrections:
+                extra["e2e_corrections"] = self.e2e_corrections
         return extra
 
     def _build_steps(self) -> None:
@@ -313,9 +347,17 @@ class Experiment:
                 self.arch, cfg.model.input_size, normalizer=self.normalizer,
                 flops_weighted=cfg.search.flops_weighted,
             )
+        # in latency mode the step closes over the WORKING budget (e2e
+        # mode rescales it at re-slice events, which rebuild the step
+        # anyway — the budget change costs no extra recompile)
+        scfg = cfg.search
+        if self.latency_lut is not None:
+            scfg = dataclasses.replace(
+                scfg, latency_budget_ms=self.latency_budget_ms
+            )
         self._train_step = jax.jit(
             make_train_step(
-                self.arch, cfg.optim, cfg.search, cfg.data,
+                self.arch, cfg.optim, scfg, cfg.data,
                 self.tx, self.schedule, pw, cfg.model.input_size,
                 use_pallas=cfg.run.use_pallas,
                 data_shards=int(self.mesh.shape.get("data", 1)),
@@ -357,7 +399,7 @@ class Experiment:
 
             floor = budget_target(
                 cfg.search, self.supernet_ms, step, self.steps_per_epoch,
-                budget=cfg.search.latency_budget_ms,
+                budget=self.latency_budget_ms,
             )
             lat_costs = latlib.atom_ms(
                 self.latency_lut, self.arch, cfg.model.input_size
@@ -420,7 +462,7 @@ class Experiment:
                 "shrink event %d @ step %d: %d atoms alive, %.3f ms "
                 "(%.2f MFLOPs; ms budget %.3f)%s",
                 self.shrink_events, step, alive, live_ms_now, live_fl / 1e6,
-                cfg.search.latency_budget_ms, prov_str,
+                self.latency_budget_ms, prov_str,
             )
         else:
             self.log.info(
@@ -483,6 +525,37 @@ class Experiment:
             self.latency_lut = latlib.rekey(
                 self.latency_lut, res.block_index_map
             )
+            if cfg.search.latency_e2e_budget_ms > 0:
+                # e2e-in-the-loop budget correction: the compact net is
+                # materialized right here, so measure its REAL folded
+                # serving ms (shapes-only — fresh params time identically)
+                # and rescale the working LUT budget so the ramp lands on
+                # the e2e target instead of a priced-ms proxy. This is the
+                # only mechanism that sees cross-block fusion; the
+                # per-block LUT structurally cannot (PARITY.md "LUT
+                # calibration", measured v8-draw spread -7%..+28%).
+                measured = latlib.measure_arch_e2e_ms(
+                    self.arch, cfg.model.input_size,
+                    batch=cfg.search.latency_lut_batch,
+                    iters=cfg.search.latency_e2e_iters,
+                )
+                lut_now = self._lut_ms(jax.device_get(self.state.masks))
+                corr = measured / max(lut_now, 1e-9)
+                self.latency_budget_ms = float(
+                    cfg.search.latency_e2e_budget_ms / max(corr, 1e-9)
+                )
+                self.e2e_corrections.append({
+                    "step": int(step), "measured_e2e_ms": float(measured),
+                    "lut_ms": float(lut_now), "correction": float(corr),
+                    "working_budget_ms": self.latency_budget_ms,
+                })
+                self.log.info(
+                    "e2e budget correction @ step %d: measured %.3f ms vs "
+                    "LUT %.3f ms (x%.3f) -> working budget %.3f LUT-ms "
+                    "for the %.3f ms e2e target",
+                    step, measured, lut_now, corr, self.latency_budget_ms,
+                    cfg.search.latency_e2e_budget_ms,
+                )
         self._place_state()
         self._build_steps()
         self.log.info(
@@ -745,6 +818,10 @@ class Experiment:
             summary["final_lut_ms"] = self._lut_ms(
                 jax.device_get(self.state.masks)
             )
+            if cfg.search.latency_e2e_budget_ms > 0:
+                summary["e2e_budget_ms"] = cfg.search.latency_e2e_budget_ms
+                summary["final_working_budget_ms"] = self.latency_budget_ms
+                summary["e2e_corrections"] = self.e2e_corrections
         if jax.process_index() == 0:  # master-only shared-file write
             (pathlib.Path(cfg.run.log_dir) / "summary.json").write_text(
                 json.dumps(summary, indent=2)

@@ -655,6 +655,95 @@ def test_latency_driver_end_to_end_and_resume(tmp_path):
     assert log_text.count("measuring per-block latency LUT") == 1
 
 
+@pytest.mark.slow
+def test_latency_driver_e2e_budget_correction(tmp_path, monkeypatch):
+    """E2E-in-the-loop budget (search.latency_e2e_budget_ms): at every
+    re-slice the driver measures the compact net's real folded ms and
+    rescales the working LUT budget to e2e_budget * lut_price / measured
+    — closing the arch-dependent composition bias per-block pricing
+    cannot see (PARITY.md "Latency-aware search"). The device measurement
+    is faked deterministically (proportional to the compact arch's
+    analytic FLOPs) so the correction arithmetic is checkable."""
+    import jax
+
+    from atomnas_tpu.models.supernet import init_params
+    from atomnas_tpu.train.loop import Experiment, train_and_eval
+
+    cfg0, arch = tiny_arch()
+    params, stats = init_params(jax.random.key(0), arch)
+    probe = latlib.measure_latency_lut(
+        arch, params, stats, cfg0.model.input_size, batch=2,
+        fracs=(0.25, 1.0), iters=2,
+    )
+    supernet_probe_ms = latlib.supernet_ms(probe)
+    # a fake device whose serving time is exactly proportional to the
+    # compact arch's analytic FLOPs: correction starts near 1 and the
+    # formula is reproducible from the recorded entries
+    k = supernet_probe_ms / F.model_flops(arch, cfg0.model.input_size)
+
+    def fake_e2e(a, input_size, batch, iters=10, seed=0):
+        return k * F.model_flops(a, input_size)
+
+    monkeypatch.setattr(latlib, "measure_arch_e2e_ms", fake_e2e)
+
+    e2e_budget = 0.8 * supernet_probe_ms
+    over = {
+        "search.enabled": True,
+        "search.penalty": 0.05,
+        "search.prune_threshold": 1.5,
+        "search.cost_metric": "latency",
+        "search.penalty_schedule": "adaptive",
+        "search.latency_e2e_budget_ms": e2e_budget,
+        "search.budget_warmup_epochs": 0.25,
+        "search.budget_ramp_epochs": 1.0,
+        "search.shrink_interval_steps": 3,
+        "search.reslice_every_events": 2,
+        "search.latency_lut_batch": 2,
+        "search.latency_e2e_iters": 2,
+        "data.dataset": "synthetic_learnable",
+    }
+    cfg = make_cfg(tmp_path, **over)
+    summary = train_and_eval(cfg)
+    assert summary["final_step"] == 8
+    assert summary["e2e_budget_ms"] == pytest.approx(e2e_budget)
+    corr = summary["e2e_corrections"]
+    assert len(corr) >= 1  # at least the final-export re-slice measured
+    for c in corr:
+        # the recorded working budget obeys the rescale formula exactly
+        assert c["working_budget_ms"] == pytest.approx(
+            e2e_budget * c["lut_ms"] / c["measured_e2e_ms"], rel=1e-6
+        )
+        assert c["correction"] == pytest.approx(
+            c["measured_e2e_ms"] / c["lut_ms"], rel=1e-6
+        )
+    assert summary["final_working_budget_ms"] == pytest.approx(
+        corr[-1]["working_budget_ms"]
+    )
+    # the working budget is checkpointed (resume must NOT re-measure)...
+    run = pathlib.Path(cfg.run.log_dir)
+    metas = sorted(run.glob("checkpoints/*/meta.json"))
+    meta = json.loads(metas[-1].read_text())
+    assert meta["latency_budget_ms"] == pytest.approx(
+        summary["final_working_budget_ms"]
+    )
+    assert meta["e2e_corrections"] == corr
+    # ...and a resumed Experiment restores it before any new measurement
+    def boom(*a, **kw):  # pragma: no cover - would fail the test
+        raise AssertionError("resume must not re-measure e2e at restore")
+
+    monkeypatch.setattr(latlib, "measure_arch_e2e_ms", boom)
+    d = json.loads(json.dumps(TINY))
+    d["run"]["log_dir"] = cfg.run.log_dir
+    for key, v in over.items():
+        sect, kk = key.split(".")
+        d.setdefault(sect, {})[kk] = v
+    exp = Experiment(config_from_dict(d))
+    assert exp.latency_budget_ms == pytest.approx(
+        summary["final_working_budget_ms"]
+    )
+    assert exp.e2e_corrections == corr
+
+
 def test_latsearch_snapshot_roundtrip(tmp_path):
     """scripts/latsearch_snapshot.py: a completed leg survives runs/ loss.
 
