@@ -37,6 +37,7 @@ DRAWS = {
     "v8 seed1": ("artifacts/latency_search_v8_s1/comparison.json", True),
     "v8 seed2": ("artifacts/latency_search_v8_s2/comparison.json", True),
     "v8r raw ms pressure, ramp28, headroom": ("artifacts/latency_search_v8r/comparison.json", True),
+    "v9 e2e-denominated budget": ("artifacts/latency_search_v9/comparison.json", True),
 }
 # "deconfounded" now means BOTH fixes applied: ramp matched to the
 # control's 28 AND ceiling headroom (v6 showed ramp-matching alone leaves

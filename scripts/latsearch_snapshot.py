@@ -50,6 +50,7 @@ LEGS = (
     "latsearch_15mf_v8_s1",  # v8 seed draws: the claim must be distributional
     "latsearch_15mf_v8_s2",
     "latsearch_15mf_v8r",  # raw ms pressure + headroom (pressure-shape probe)
+    "latsearch_15mf_v9",  # e2e-denominated budget (in-loop correction)
 )
 # small per-run streams worth keeping for the artifact record
 AUX = ("metrics_train.csv", "metrics_eval.csv", "arch_events.jsonl",
