@@ -309,6 +309,94 @@ else
     log "job 14: SKIPPED (v8 comparison not landed yet)"
 fi
 
+# ---- job 15: v8r — RAW ms pressure + headroom (pressure-shape probe) ------
+# Scientific completeness for the deconfounded comparison: v8/v8-seeds test
+# FLOPs-shaped pressure (T=1) under the ms budget with a healthy
+# controller; v8r tests the ORIGINAL v2/v3 mechanism (raw ~15x ms/FLOP
+# per-atom tilt) with both the schedule AND the ceiling fixed. If v8r also
+# recovers, the round-3 "ms pressure starves the trunk" diagnosis was the
+# ceiling amputation in disguise — and raw pressure is the preferable
+# mechanism (it actually optimizes ms); if v8r still loses while v8 wins,
+# pressure SHAPE matters and the temper dial earns its keep.
+V8R=runs/latsearch_15mf_v8r
+C8R=artifacts/latency_search_v8r
+if [ ! -f $V8R/summary.json ]; then
+    log "job 15: v8r raw-pressure latency search (ramp 28, headroom 0.25/4)"
+    [ -f runs/latref_15mf/summary.json ] || python scripts/latsearch_snapshot.py restore
+    BUDGET=$(python -c "
+import json
+print(json.load(open('artifacts/latency_search_r3/pricing.json'))['reference_net_model_ms'])")
+    python -m atomnas_tpu.cli.train --config configs/jpeg_hard.yml \
+        search.cost_metric=latency search.latency_budget_ms=$BUDGET \
+        search.latency_lut_path=artifacts/latency_search_r3/lut.json \
+        search.budget_ceiling=true \
+        search.min_atoms_nonresidual=8 \
+        search.budget_ramp_epochs=28 \
+        search.ceiling_headroom=0.25 \
+        search.ceiling_headroom_decay_epochs=4 \
+        optim.grad_clip_norm=5.0 \
+        search.latency_lut_batch=64 run.log_dir=$V8R
+    python scripts/latsearch_snapshot.py snapshot
+else
+    log "job 15: search leg done ($V8R/summary.json)"
+fi
+if [ -f $V8R/summary.json ] && [ ! -f $C8R/comparison.json ]; then
+    log "job 15: compare v8r vs FLOPs reference"
+    mkdir -p $C8R
+    cp -n artifacts/latency_search_r3/pricing.json $C8R/ 2>/dev/null || true
+    python scripts/latency_search_demo.py compare --run $V8R \
+        --reference-run runs/latref_15mf --out $C8R
+    python scripts/latsearch_snapshot.py snapshot
+fi
+
+# ---- job 16: v9 — budget denominated in MEASURED e2e ms -------------------
+# The v8 family proved ms-budgeted search costs no accuracy, but at equal
+# LUT price the draws scatter -7%..+28% in REAL serving ms (10.36 / 14.21
+# / ... vs the control's 11.12) — per-block pricing cannot see cross-block
+# fusion. v9 uses search.latency_e2e_budget_ms: at every re-slice the
+# compact net's real folded e2e is measured on-chip and the working LUT
+# budget is rescaled so the ramp lands on the REAL target — the
+# reference net's own measured 11.12 ms. Protocol upgrade: the comparison
+# becomes equal MEASURED serving ms, the claim a user actually wants.
+# Success = |final e2e - 11.12| well inside the v8-family scatter AND
+# top1 in the v8/control band (>= ~0.95).
+V9=runs/latsearch_15mf_v9
+C9=artifacts/latency_search_v9
+if [ ! -f $V9/summary.json ]; then
+    log "job 16: v9 e2e-budget latency search (target = reference real ms)"
+    [ -f runs/latref_15mf/summary.json ] || python scripts/latsearch_snapshot.py restore
+    E2E=$(python -c "
+import json
+print(json.load(open('artifacts/latency_search_r3/pricing.json'))['reference_net_e2e_ms'])")
+    SEED_BUDGET=$(python -c "
+import json
+print(json.load(open('artifacts/latency_search_r3/pricing.json'))['reference_net_model_ms'])")
+    python -m atomnas_tpu.cli.train --config configs/jpeg_hard.yml \
+        search.cost_metric=latency \
+        search.latency_e2e_budget_ms=$E2E \
+        search.latency_budget_ms=$SEED_BUDGET \
+        search.latency_lut_path=artifacts/latency_search_r3/lut.json \
+        search.budget_ceiling=true \
+        search.min_atoms_nonresidual=8 \
+        search.budget_ramp_epochs=28 \
+        search.latency_pressure_temper=1.0 \
+        search.ceiling_headroom=0.25 \
+        search.ceiling_headroom_decay_epochs=4 \
+        optim.grad_clip_norm=5.0 \
+        search.latency_lut_batch=64 run.log_dir=$V9
+    python scripts/latsearch_snapshot.py snapshot
+else
+    log "job 16: search leg done ($V9/summary.json)"
+fi
+if [ -f $V9/summary.json ] && [ ! -f $C9/comparison.json ]; then
+    log "job 16: compare v9 vs FLOPs reference (equal REAL ms protocol)"
+    mkdir -p $C9
+    cp -n artifacts/latency_search_r3/pricing.json $C9/ 2>/dev/null || true
+    python scripts/latency_search_demo.py compare --run $V9 \
+        --reference-run runs/latref_15mf --out $C9
+    python scripts/latsearch_snapshot.py snapshot
+fi
+
 # ---- job 7: 40-epoch plus-recipe controls (runs AFTER job 8: single runs
 # answer the flagship question; these isolate the plus stall) ---------------
 # The 40-epoch ablation inverted the 14-epoch diag: random (supernet-init-
@@ -350,46 +438,6 @@ if [ -f configs/.plus_recipe40 ]; then
     fi
 else
     log "job 12: SKIPPED (no plus recipe passed the 40-epoch gate)"
-fi
-
-# ---- job 15: v8r — RAW ms pressure + headroom (pressure-shape probe) ------
-# Scientific completeness for the deconfounded comparison: v8/v8-seeds test
-# FLOPs-shaped pressure (T=1) under the ms budget with a healthy
-# controller; v8r tests the ORIGINAL v2/v3 mechanism (raw ~15x ms/FLOP
-# per-atom tilt) with both the schedule AND the ceiling fixed. If v8r also
-# recovers, the round-3 "ms pressure starves the trunk" diagnosis was the
-# ceiling amputation in disguise — and raw pressure is the preferable
-# mechanism (it actually optimizes ms); if v8r still loses while v8 wins,
-# pressure SHAPE matters and the temper dial earns its keep.
-V8R=runs/latsearch_15mf_v8r
-C8R=artifacts/latency_search_v8r
-if [ ! -f $V8R/summary.json ]; then
-    log "job 15: v8r raw-pressure latency search (ramp 28, headroom 0.25/4)"
-    [ -f runs/latref_15mf/summary.json ] || python scripts/latsearch_snapshot.py restore
-    BUDGET=$(python -c "
-import json
-print(json.load(open('artifacts/latency_search_r3/pricing.json'))['reference_net_model_ms'])")
-    python -m atomnas_tpu.cli.train --config configs/jpeg_hard.yml \
-        search.cost_metric=latency search.latency_budget_ms=$BUDGET \
-        search.latency_lut_path=artifacts/latency_search_r3/lut.json \
-        search.budget_ceiling=true \
-        search.min_atoms_nonresidual=8 \
-        search.budget_ramp_epochs=28 \
-        search.ceiling_headroom=0.25 \
-        search.ceiling_headroom_decay_epochs=4 \
-        optim.grad_clip_norm=5.0 \
-        search.latency_lut_batch=64 run.log_dir=$V8R
-    python scripts/latsearch_snapshot.py snapshot
-else
-    log "job 15: search leg done ($V8R/summary.json)"
-fi
-if [ -f $V8R/summary.json ] && [ ! -f $C8R/comparison.json ]; then
-    log "job 15: compare v8r vs FLOPs reference"
-    mkdir -p $C8R
-    cp -n artifacts/latency_search_r3/pricing.json $C8R/ 2>/dev/null || true
-    python scripts/latency_search_demo.py compare --run $V8R \
-        --reference-run runs/latref_15mf --out $C8R
-    python scripts/latsearch_snapshot.py snapshot
 fi
 
 # refresh the distributional verdict artifact from whatever has landed
