@@ -1,0 +1,34 @@
+#!/usr/bin/env bash
+# Rebuild recovery for the TPU job queues. Run BEFORE (re)launching
+# scripts/tpu_queue_r4*.sh after a container rebuild: runs/ and /tmp are
+# wiped between driver sessions, and the queue guards check files under
+# runs/, so without this step finished jobs re-burn hours of TPU time
+# (observed: 2026-08-20 rebuild re-launched the completed v4 leg and
+# crashed compare on the missing /tmp/hardimgs dataset).
+set -euo pipefail
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+
+# 1. pull every committed latency-search leg snapshot back into runs/
+python scripts/latsearch_snapshot.py restore
+
+# 2. pre-seed guard files for queue jobs whose results are committed as
+#    artifacts but whose guards check gitignored runs/ paths
+if [ ! -f runs/seed_rob_16mf/seed_robustness.json ]; then
+    mkdir -p runs/seed_rob_16mf
+    cp artifacts/ablation_r3/seed_robustness_16mf/seed_robustness.json \
+        runs/seed_rob_16mf/
+fi
+if [ ! -f runs/ablate_plus_8mf/ablation.json ]; then
+    mkdir -p runs/ablate_plus_8mf
+    cp artifacts/ablation_plus_r4/ablation.json runs/ablate_plus_8mf/
+fi
+
+# 3. regenerate the standing accuracy benchmark dataset (fast, ~1 min)
+if [ ! -d /tmp/hardimgs/train ]; then
+    echo "[prelude] generating /tmp/hardimgs"
+    python scripts/make_fake_imagefolder.py /tmp/hardimgs --hard \
+        --classes 100 --train-per-class 100 --val-per-class 20 --size 64
+fi
+
+echo "[prelude] recovery complete"
