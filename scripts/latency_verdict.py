@@ -93,10 +93,12 @@ def main() -> dict:
         "draws": draws,
         "deconfounded_top1": _stats(deconf_top1) if deconf_top1 else None,
         "notes": [
-            "equal-LUT-ms protocol; raw LUT composition bias is arch-"
-            "dependent (+12.5% control, ~+24% latency archs), so at equal "
-            "LUT ms the latency nets run FASTER in real e2e ms — the "
-            "protocol handicaps the latency arm in real terms",
+            "equal-LUT-ms protocol; the raw LUT composition bias is arch-"
+            "dependent (+12.5% on the control, -7%..+28% across the v8 "
+            "draws), so equal priced ms does NOT pin real e2e ms — the v8 "
+            "family scatters 10.36/14.21/11.93 ms around the control's "
+            "11.12; landing on MEASURED e2e ms is v9's "
+            "search.latency_e2e_budget_ms mechanism",
             "control seeds are the FLOPs-searched ablation legs at the "
             "16.03 MF budget (seed spread 6.5 pp)",
         ],
