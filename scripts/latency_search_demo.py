@@ -252,7 +252,12 @@ def _e2e_folded_ms(config: str, run_dir: pathlib.Path, batch: int) -> dict:
     (re-sliced) checkpoint, fold BN, jit the whole deployment forward as ONE
     program, and time it on the current backend. Unlike the per-block LUT
     (a pricing model with a stated composition caveat), this is the real
-    serving latency the search was optimizing for."""
+    serving latency the search was optimizing for.
+
+    Prints a heartbeat per phase: checkpoint restore + cold jit can sit
+    silent for many minutes on a contended host core, and the supervisor's
+    420 s stall watchdog killed two otherwise-healthy compare attempts on
+    2026-08-20 exactly there."""
     import dataclasses
 
     import jax
@@ -274,6 +279,8 @@ def _e2e_folded_ms(config: str, run_dir: pathlib.Path, batch: int) -> dict:
             log_dir=str(run_dir),
         ),
     )
+    print(f"  e2e[{run_dir.name}]: restoring final checkpoint...",
+          flush=True)
     exp = Experiment(cfg)
     arch = exp.arch
     folded = fold_bn(
@@ -282,8 +289,11 @@ def _e2e_folded_ms(config: str, run_dir: pathlib.Path, batch: int) -> dict:
         jax.device_get(exp.state.batch_stats),
     )
     size = cfg.model.input_size
+    print(f"  e2e[{run_dir.name}]: timing folded forward "
+          f"(batch {batch}, 20 iters)...", flush=True)
     # same timing recipe as the calibration probes (shared helper)
     ms = folded_forward_ms(arch, folded, size, batch, iters=20)
+    print(f"  e2e[{run_dir.name}]: {ms:.3f} ms", flush=True)
     return {
         "e2e_folded_ms": ms,
         "e2e_batch": batch,
