@@ -82,8 +82,13 @@ def main() -> dict:
         }
     ref = json.loads((REPO / "artifacts/latency_search_r3/comparison.json").read_text())["flops_searched"]
 
+    # the headline family is the three v8 seed draws ONLY (T=1 pressure,
+    # ramp 28, headroom): v8r varies the pressure shape and v9 the budget
+    # denomination — each is its own single-variable probe, reported as a
+    # row but kept out of the family distribution stats.
     deconf_top1 = [d["top1"] for l, d in draws.items()
-                   if d["deconfounded"] and l.startswith("v8")]
+                   if d["deconfounded"] and l.startswith("v8")
+                   and not l.startswith("v8r")]
     control_top1 = [c["top1"] for c in control.values()]
     out = {
         "ms_budget": ref["lut_ms"],
