@@ -281,6 +281,27 @@ class SearchConfig:
     # timing iterations per in-loop e2e measurement (min-of-3 chains
     # inside; compile dominates the cost, ~20-40 s per re-slice on TPU)
     latency_e2e_iters: int = 10
+    # v9 post-mortem guards (round 5, search/latency.py::
+    # e2e_budget_correction — see its docstring for the measured
+    # motivation). v9 applied the raw measured/LUT ratio per event and
+    # landed -29% under its e2e target: out-of-regime supernet-scale
+    # probes + per-event noise whipsawed the working budget +/-25%, and
+    # monotone masks turn every transient over-tightening into a
+    # permanent amputation. REGIME GATE: skip corrections while measured
+    # e2e > factor * target (v9's damaging x1.241 swing came from a 45 ms
+    # probe aimed at an 11 ms target). 1.5 means corrections start only
+    # once the net is within 50% of the landing regime.
+    latency_e2e_regime_factor: float = 1.5
+    # CLAMP band for the per-event ratio: every compact-scale e2e/LUT
+    # ratio measured on this chip falls in [0.83, 1.14] (control 0.89,
+    # v8 family 0.83/1.14/0.95, v9 landing 0.84); ratios outside
+    # [0.8, 1.25] are noise or out-of-regime bias, never real.
+    latency_e2e_corr_lo: float = 0.8
+    latency_e2e_corr_hi: float = 1.25
+    # EMA weight on the NEW event's clamped ratio (1.0 = raw v9
+    # behavior). The smoothed ratio sets the working budget
+    # target/ema, and is checkpointed (resume must not re-measure).
+    latency_e2e_corr_ema: float = 0.5
 
 
 @dataclasses.dataclass(frozen=True)

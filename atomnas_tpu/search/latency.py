@@ -452,6 +452,76 @@ def measure_arch_e2e_ms(
                              seed=seed)
 
 
+def e2e_budget_correction(
+    measured_ms: float,
+    lut_ms: float,
+    target_ms: float,
+    ema_prev: float,
+    *,
+    regime_factor: float,
+    corr_lo: float,
+    corr_hi: float,
+    ema_weight: float,
+    step: int = 0,
+) -> Tuple[float, float, Dict[str, Any]]:
+    """One e2e-in-the-loop budget correction event — the v9 post-mortem
+    policy (round 5).
+
+    v9 applied the raw per-event ratio ``measured/lut`` directly to the
+    working budget and missed its own e2e target by -29%: consecutive
+    corrections whipsawed x1.027 -> x0.823 -> x1.241 -> x0.961 -> x0.795
+    -> x1.183 (runs/latsearch_15mf_v9/train.log), swinging the working
+    budget between 8.96 and 13.99 LUT-ms against a real composition bias
+    of only -7..+28% — and monotone masks mean every transient
+    over-tightening amputates trained atoms PERMANENTLY (the ratchet).
+    Three guards, mirroring the LUT path's round-3 measurement lessons
+    (min-of-3, isotonic projection, regime matching):
+
+    1. REGIME GATE — skip the update while the measured e2e is further
+       than ``regime_factor`` x the target: supernet-scale probes (54,
+       45, 36 ms against an 11 ms target) carry a cross-block composition
+       bias that does not transfer to the landing regime (the regime
+       mismatch that sank LUT calibration, ``calibrate_lut`` docstring).
+       The working budget stays at ``target/ema_prev`` (seeded 1.0, i.e.
+       the target itself) until the net approaches the regime.
+    2. CLAMP — bound the per-event ratio into the band measured across
+       every compact-scale draw on this chip (e2e/LUT: control 0.89,
+       v8 family 0.83/1.14/0.95, v9 landing 0.84 — band [0.8, 1.25]
+       covers all five); excursions beyond it are noise or
+       out-of-regime bias, never a real compact-net ratio.
+    3. EMA — smooth the clamped ratio across events with weight
+       ``ema_weight`` on the new event (1.0 reproduces raw v9).
+
+    In-regime measurements are reproducible on this rig (v9 measured
+    0.838 twice identically at its landed arch), so post-ramp events
+    converge the working budget to ``target/true_ratio`` and the ceiling
+    trims the live net onto the REAL target from above — the one
+    direction monotone masks can move.
+
+    Returns ``(new_ema, working_budget_ms, event_record)``.
+    """
+    raw = measured_ms / max(lut_ms, 1e-9)
+    in_regime = measured_ms <= regime_factor * target_ms
+    if in_regime:
+        clamped = min(max(raw, corr_lo), corr_hi)
+        ema = ema_weight * clamped + (1.0 - ema_weight) * ema_prev
+    else:
+        clamped = None
+        ema = ema_prev
+    working_budget_ms = target_ms / max(ema, 1e-9)
+    event = {
+        "step": int(step),
+        "measured_e2e_ms": float(measured_ms),
+        "lut_ms": float(lut_ms),
+        "correction_raw": float(raw),
+        "in_regime": bool(in_regime),
+        "correction": None if clamped is None else float(clamped),
+        "corr_ema": float(ema),
+        "working_budget_ms": float(working_budget_ms),
+    }
+    return float(ema), float(working_budget_ms), event
+
+
 _PROBE_FRACS = (0.03, 0.08, 0.2, 0.45, 0.7, 1.0)
 
 

@@ -129,6 +129,7 @@ class Experiment:
             self._restored_supernet_ms = meta.get("supernet_ms")
             self._restored_latency_budget_ms = meta.get("latency_budget_ms")
             self._restored_e2e_corrections = meta.get("e2e_corrections")
+            self._restored_e2e_corr_ema = meta.get("e2e_corr_ema")
             self.log.info(
                 "restored step %d (shrink_events=%d) from %s",
                 int(state.step), self.shrink_events, restore_from,
@@ -150,6 +151,7 @@ class Experiment:
             self._restored_supernet_ms = None
             self._restored_latency_budget_ms = None
             self._restored_e2e_corrections = None
+            self._restored_e2e_corr_ema = None
         self._place_state()
         if cfg.search.cost_metric not in ("flops", "latency"):
             raise ValueError(
@@ -160,6 +162,7 @@ class Experiment:
         self.supernet_ms = 0.0
         self.latency_budget_ms = 0.0
         self.e2e_corrections: list = []
+        self.e2e_corr_ema = 1.0
         if cfg.search.enabled and cfg.search.cost_metric == "latency":
             self._init_latency_lut(lut_from_meta, fresh=restore_from is None)
         self.log.info("arch:\n%s", arch_summary(self.arch))
@@ -271,6 +274,17 @@ class Experiment:
         self.e2e_corrections: list = list(
             self._restored_e2e_corrections or []
         )
+        if self._restored_e2e_corr_ema is not None:
+            self.e2e_corr_ema = float(self._restored_e2e_corr_ema)
+        elif (self._restored_latency_budget_ms is not None
+              and cfg.search.latency_e2e_budget_ms > 0):
+            # pre-round-5 checkpoint (raw per-event policy, no EMA state):
+            # reconstruct the smoothed ratio the working budget implies so
+            # the resume continues from the same budget
+            self.e2e_corr_ema = float(
+                cfg.search.latency_e2e_budget_ms
+                / max(self.latency_budget_ms, 1e-9)
+            )
         if fresh:
             # normalizer convention matches the FLOPs weights: mean atom
             # price over the supernet's searchable atoms at init = 1
@@ -326,6 +340,7 @@ class Experiment:
             extra["latency_budget_ms"] = self.latency_budget_ms
             if self.e2e_corrections:
                 extra["e2e_corrections"] = self.e2e_corrections
+            extra["e2e_corr_ema"] = self.e2e_corr_ema
         return extra
 
     def _build_steps(self) -> None:
@@ -533,27 +548,36 @@ class Experiment:
                 # the e2e target instead of a priced-ms proxy. This is the
                 # only mechanism that sees cross-block fusion; the
                 # per-block LUT structurally cannot (PARITY.md "LUT
-                # calibration", measured v8-draw spread -7%..+28%).
+                # calibration", measured v8-draw spread -7%..+28%). The
+                # raw ratio is gated/clamped/EMA-smoothed — v9 applied it
+                # raw and landed -29% under target (policy + measured
+                # post-mortem: latlib.e2e_budget_correction docstring).
                 measured = latlib.measure_arch_e2e_ms(
                     self.arch, cfg.model.input_size,
                     batch=cfg.search.latency_lut_batch,
                     iters=cfg.search.latency_e2e_iters,
                 )
                 lut_now = self._lut_ms(jax.device_get(self.state.masks))
-                corr = measured / max(lut_now, 1e-9)
-                self.latency_budget_ms = float(
-                    cfg.search.latency_e2e_budget_ms / max(corr, 1e-9)
+                self.e2e_corr_ema, self.latency_budget_ms, event = (
+                    latlib.e2e_budget_correction(
+                        measured, lut_now,
+                        cfg.search.latency_e2e_budget_ms,
+                        self.e2e_corr_ema,
+                        regime_factor=cfg.search.latency_e2e_regime_factor,
+                        corr_lo=cfg.search.latency_e2e_corr_lo,
+                        corr_hi=cfg.search.latency_e2e_corr_hi,
+                        ema_weight=cfg.search.latency_e2e_corr_ema,
+                        step=step,
+                    )
                 )
-                self.e2e_corrections.append({
-                    "step": int(step), "measured_e2e_ms": float(measured),
-                    "lut_ms": float(lut_now), "correction": float(corr),
-                    "working_budget_ms": self.latency_budget_ms,
-                })
+                self.e2e_corrections.append(event)
                 self.log.info(
                     "e2e budget correction @ step %d: measured %.3f ms vs "
-                    "LUT %.3f ms (x%.3f) -> working budget %.3f LUT-ms "
-                    "for the %.3f ms e2e target",
-                    step, measured, lut_now, corr, self.latency_budget_ms,
+                    "LUT %.3f ms (raw x%.3f, %s, ema x%.3f) -> working "
+                    "budget %.3f LUT-ms for the %.3f ms e2e target",
+                    step, measured, lut_now, event["correction_raw"],
+                    "in-regime" if event["in_regime"] else "OUT-OF-REGIME "
+                    "(skipped)", self.e2e_corr_ema, self.latency_budget_ms,
                     cfg.search.latency_e2e_budget_ms,
                 )
         self._place_state()
@@ -821,6 +845,7 @@ class Experiment:
             if cfg.search.latency_e2e_budget_ms > 0:
                 summary["e2e_budget_ms"] = cfg.search.latency_e2e_budget_ms
                 summary["final_working_budget_ms"] = self.latency_budget_ms
+                summary["final_e2e_corr_ema"] = self.e2e_corr_ema
                 summary["e2e_corrections"] = self.e2e_corrections
         if jax.process_index() == 0:  # master-only shared-file write
             (pathlib.Path(cfg.run.log_dir) / "summary.json").write_text(

@@ -26,23 +26,49 @@ import statistics
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
-# label -> (comparison.json, deconfounded?) deconfounded = ramp matched to
-# the control's 28 (see PARITY.md "schedule confound").
-DRAWS = {
-    "v3 raw ms pressure, ramp20": ("artifacts/latency_search_r3/comparison.json", False),
-    "v4 T=2 tempered, ramp20": ("artifacts/latency_search_r4/comparison.json", False),
-    "v5 T=1 FLOPs-shaped, ramp20": ("artifacts/latency_search_v5/comparison.json", False),
-    "v6 T=1 FLOPs-shaped, ramp28": ("artifacts/latency_search_v6/comparison.json", False),
-    "v8 T=1, ramp28, headroom": ("artifacts/latency_search_v8/comparison.json", True),
-    "v8 seed1": ("artifacts/latency_search_v8_s1/comparison.json", True),
-    "v8 seed2": ("artifacts/latency_search_v8_s2/comparison.json", True),
-    "v8r raw ms pressure, ramp28, headroom": ("artifacts/latency_search_v8r/comparison.json", True),
-    "v9 e2e-denominated budget": ("artifacts/latency_search_v9/comparison.json", True),
-}
-# "deconfounded" now means BOTH fixes applied: ramp matched to the
-# control's 28 AND ceiling headroom (v6 showed ramp-matching alone leaves
-# the zero-headroom ceiling starving the adaptive rho — 9858/54
+# label -> {path, deconfounded, family}.
+# "deconfounded" means BOTH fixes applied: ramp matched to the control's
+# 28 AND ceiling headroom (v6 showed ramp-matching alone leaves the
+# zero-headroom ceiling starving the adaptive rho — 9858/54
 # ceiling/threshold kills, PARITY.md v6 post-mortem).
+# "family" marks the headline v8 seed family (T=1 pressure, ramp 28,
+# headroom, seed-only variation) whose distribution is the verdict;
+# v8r/v9/v9b each vary one OTHER variable (pressure shape / budget
+# denomination) and are reported as rows but kept out of the family
+# stats — an explicit flag, not label matching, so renaming or adding
+# rows cannot silently change the published distribution.
+DRAWS = {
+    "v3 raw ms pressure, ramp20": {
+        "path": "artifacts/latency_search_r3/comparison.json",
+        "deconfounded": False, "family": False},
+    "v4 T=2 tempered, ramp20": {
+        "path": "artifacts/latency_search_r4/comparison.json",
+        "deconfounded": False, "family": False},
+    "v5 T=1 FLOPs-shaped, ramp20": {
+        "path": "artifacts/latency_search_v5/comparison.json",
+        "deconfounded": False, "family": False},
+    "v6 T=1 FLOPs-shaped, ramp28": {
+        "path": "artifacts/latency_search_v6/comparison.json",
+        "deconfounded": False, "family": False},
+    "v8 T=1, ramp28, headroom": {
+        "path": "artifacts/latency_search_v8/comparison.json",
+        "deconfounded": True, "family": True},
+    "v8 seed1": {
+        "path": "artifacts/latency_search_v8_s1/comparison.json",
+        "deconfounded": True, "family": True},
+    "v8 seed2": {
+        "path": "artifacts/latency_search_v8_s2/comparison.json",
+        "deconfounded": True, "family": True},
+    "v8r raw ms pressure, ramp28, headroom": {
+        "path": "artifacts/latency_search_v8r/comparison.json",
+        "deconfounded": True, "family": False},
+    "v9 e2e-denominated budget (raw corrections)": {
+        "path": "artifacts/latency_search_v9/comparison.json",
+        "deconfounded": True, "family": False},
+    "v9b e2e-denominated budget (gated/clamped/EMA corrections)": {
+        "path": "artifacts/latency_search_v9b/comparison.json",
+        "deconfounded": True, "family": False},
+}
 
 
 def _load_control_seeds() -> dict:
@@ -69,8 +95,8 @@ def _stats(xs):
 def main() -> dict:
     control = _load_control_seeds()
     draws = {}
-    for label, (rel, deconf) in DRAWS.items():
-        p = REPO / rel
+    for label, spec in DRAWS.items():
+        p = REPO / spec["path"]
         if not p.exists():
             continue
         c = json.loads(p.read_text())
@@ -78,17 +104,13 @@ def main() -> dict:
         draws[label] = {
             "top1": lat["top1"], "mflops": lat["mflops"],
             "lut_ms": lat["lut_ms"], "e2e_ms": lat.get("e2e_folded_ms"),
-            "deconfounded": deconf,
+            "deconfounded": spec["deconfounded"], "family": spec["family"],
         }
     ref = json.loads((REPO / "artifacts/latency_search_r3/comparison.json").read_text())["flops_searched"]
 
-    # the headline family is the three v8 seed draws ONLY (T=1 pressure,
-    # ramp 28, headroom): v8r varies the pressure shape and v9 the budget
-    # denomination — each is its own single-variable probe, reported as a
-    # row but kept out of the family distribution stats.
-    deconf_top1 = [d["top1"] for l, d in draws.items()
-                   if d["deconfounded"] and l.startswith("v8")
-                   and not l.startswith("v8r")]
+    # the headline family is the three v8 seed draws ONLY (explicit
+    # family flag in DRAWS; v8r/v9/v9b are single-variable probes).
+    deconf_top1 = [d["top1"] for d in draws.values() if d["family"]]
     control_top1 = [c["top1"] for c in control.values()]
     out = {
         "ms_budget": ref["lut_ms"],

@@ -51,6 +51,7 @@ LEGS = (
     "latsearch_15mf_v8_s2",
     "latsearch_15mf_v8r",  # raw ms pressure + headroom (pressure-shape probe)
     "latsearch_15mf_v9",  # e2e-denominated budget (in-loop correction)
+    "latsearch_15mf_v9b",  # v9 with the round-5 gated/clamped/EMA policy
 )
 # small per-run streams worth keeping for the artifact record
 AUX = ("metrics_train.csv", "metrics_eval.csv", "arch_events.jsonl",

@@ -472,6 +472,69 @@ def test_sliced_probe_arch_slices_only_searchable():
             assert b1 == b0
 
 
+def test_e2e_budget_correction_policy():
+    """The v9-post-mortem correction policy (round 5): regime gate, clamp
+    band, EMA smoothing (search/latency.py::e2e_budget_correction)."""
+    kw = dict(regime_factor=1.5, corr_lo=0.8, corr_hi=1.25, ema_weight=0.5)
+    # out-of-regime: measured 54 ms against an 11.12 target — skipped,
+    # budget stays target/ema_prev
+    ema, budget, ev = latlib.e2e_budget_correction(
+        54.112, 52.691, 11.12, 1.0, **kw)
+    assert ema == 1.0 and budget == pytest.approx(11.12)
+    assert not ev["in_regime"] and ev["correction"] is None
+    assert ev["correction_raw"] == pytest.approx(54.112 / 52.691)
+    # in-regime below the clamp floor: raw 0.5 -> clamped 0.8, EMA-halved
+    ema, budget, ev = latlib.e2e_budget_correction(
+        5.0, 10.0, 11.12, 1.0, **kw)
+    assert ev["in_regime"] and ev["correction"] == pytest.approx(0.8)
+    assert ema == pytest.approx(0.9)
+    assert budget == pytest.approx(11.12 / 0.9)
+    # in-regime above the clamp ceiling: raw 1.6 -> clamped 1.25
+    ema, budget, ev = latlib.e2e_budget_correction(
+        16.0, 10.0, 11.12, 1.0, **kw)
+    assert ev["correction"] == pytest.approx(1.25)
+    assert ema == pytest.approx(1.125)
+    # ema_weight=1.0 with a wide-open band reproduces the raw v9 policy
+    ema, budget, ev = latlib.e2e_budget_correction(
+        12.0, 10.0, 11.12, 0.7,
+        regime_factor=100.0, corr_lo=0.0, corr_hi=100.0, ema_weight=1.0)
+    assert ema == pytest.approx(1.2)
+    assert budget == pytest.approx(11.12 / 1.2)
+
+
+def test_e2e_budget_correction_v9_trace_replay():
+    """Replaying v9's measured correction trace through the new policy:
+    the working budget never tightens below the target (v9's raw policy
+    whipsawed it down to 8.96 LUT-ms mid-ramp — the -29% landing miss,
+    runs/latsearch_15mf_v9/train.log) and converges toward
+    target/true_ratio once the in-regime events (the landed arch's
+    reproducible 0.838) arrive."""
+    trace = [  # (measured_e2e_ms, lut_ms) per re-slice, v9 actuals
+        (54.112, 52.691), (36.129, 43.894), (45.386, 36.586),
+        (26.757, 27.841), (18.300, 23.026), (19.893, 16.814),
+        (7.870, 9.388), (7.870, 9.388),
+    ]
+    target = 11.12
+    kw = dict(regime_factor=1.5, corr_lo=0.8, corr_hi=1.25, ema_weight=0.5)
+    ema, budgets, events = 1.0, [], []
+    for i, (m, lut) in enumerate(trace):
+        ema, budget, ev = latlib.e2e_budget_correction(
+            m, lut, target, ema, step=i, **kw)
+        budgets.append(budget)
+        events.append(ev)
+    # every supernet/mid-scale probe (54..19.9 ms vs the 16.68 ms gate)
+    # is skipped; only the landed-arch events update the budget
+    assert [e["in_regime"] for e in events] == [False] * 6 + [True] * 2
+    # no transient over-tightening: the budget never drops below target
+    # (v9's raw policy: min 8.964)
+    assert min(budgets) >= target - 1e-9
+    # and the final budget moves toward target/0.838 = 13.27 from above
+    assert budgets[-1] > target
+    assert budgets[-1] == pytest.approx(target / ema)
+    true_ratio = 7.870 / 9.388
+    assert abs(ema - true_ratio) < abs(1.0 - true_ratio)
+
+
 def test_update_masks_latency_budget_floor():
     """The floor resurrects highest-|gamma| dying atoms until live ms >=
     floor, on the LUT surface."""
@@ -708,17 +771,27 @@ def test_latency_driver_e2e_budget_correction(tmp_path, monkeypatch):
     assert summary["e2e_budget_ms"] == pytest.approx(e2e_budget)
     corr = summary["e2e_corrections"]
     assert len(corr) >= 1  # at least the final-export re-slice measured
+    # the recorded trajectory replays exactly through the policy function
+    # (gate + clamp + EMA — search/latency.py::e2e_budget_correction)
+    ema = 1.0
     for c in corr:
-        # the recorded working budget obeys the rescale formula exactly
-        assert c["working_budget_ms"] == pytest.approx(
-            e2e_budget * c["lut_ms"] / c["measured_e2e_ms"], rel=1e-6
+        ema, budget, event = latlib.e2e_budget_correction(
+            c["measured_e2e_ms"], c["lut_ms"], e2e_budget, ema,
+            regime_factor=cfg.search.latency_e2e_regime_factor,
+            corr_lo=cfg.search.latency_e2e_corr_lo,
+            corr_hi=cfg.search.latency_e2e_corr_hi,
+            ema_weight=cfg.search.latency_e2e_corr_ema,
+            step=c["step"],
         )
-        assert c["correction"] == pytest.approx(
+        assert c["working_budget_ms"] == pytest.approx(budget, rel=1e-9)
+        assert c["corr_ema"] == pytest.approx(ema, rel=1e-9)
+        assert c["correction_raw"] == pytest.approx(
             c["measured_e2e_ms"] / c["lut_ms"], rel=1e-6
         )
     assert summary["final_working_budget_ms"] == pytest.approx(
         corr[-1]["working_budget_ms"]
     )
+    assert summary["final_e2e_corr_ema"] == pytest.approx(corr[-1]["corr_ema"])
     # the working budget is checkpointed (resume must NOT re-measure)...
     run = pathlib.Path(cfg.run.log_dir)
     metas = sorted(run.glob("checkpoints/*/meta.json"))
@@ -742,6 +815,16 @@ def test_latency_driver_e2e_budget_correction(tmp_path, monkeypatch):
         summary["final_working_budget_ms"]
     )
     assert exp.e2e_corrections == corr
+    assert exp.e2e_corr_ema == pytest.approx(corr[-1]["corr_ema"])
+    # pre-round-5 checkpoints carry no EMA state (raw per-event policy):
+    # the resume reconstructs the ratio the working budget implies
+    meta_no_ema = dict(meta)
+    del meta_no_ema["e2e_corr_ema"]
+    metas[-1].write_text(json.dumps(meta_no_ema))
+    exp = Experiment(config_from_dict(d))
+    assert exp.e2e_corr_ema == pytest.approx(
+        e2e_budget / summary["final_working_budget_ms"]
+    )
 
 
 def test_latsearch_snapshot_roundtrip(tmp_path):
