@@ -62,6 +62,12 @@ DRAWS = {
     "v8r raw ms pressure, ramp28, headroom": {
         "path": "artifacts/latency_search_v8r/comparison.json",
         "deconfounded": True, "family": False},
+    "v8r seed1": {
+        "path": "artifacts/latency_search_v8r_s1/comparison.json",
+        "deconfounded": True, "family": False},
+    "v8r seed2": {
+        "path": "artifacts/latency_search_v8r_s2/comparison.json",
+        "deconfounded": True, "family": False},
     "v9 e2e-denominated budget (raw corrections)": {
         "path": "artifacts/latency_search_v9/comparison.json",
         "deconfounded": True, "family": False},

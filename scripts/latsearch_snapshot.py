@@ -50,6 +50,8 @@ LEGS = (
     "latsearch_15mf_v8_s1",  # v8 seed draws: the claim must be distributional
     "latsearch_15mf_v8_s2",
     "latsearch_15mf_v8r",  # raw ms pressure + headroom (pressure-shape probe)
+    "latsearch_15mf_v8r_s1",  # v8r seed draws (round 5: probe -> distribution)
+    "latsearch_15mf_v8r_s2",
     "latsearch_15mf_v9",  # e2e-denominated budget (in-loop correction)
     "latsearch_15mf_v9b",  # v9 with the round-5 gated/clamped/EMA policy
 )
