@@ -23,6 +23,31 @@ if [ ! -f runs/ablate_plus_8mf/ablation.json ]; then
     mkdir -p runs/ablate_plus_8mf
     cp artifacts/ablation_plus_r4/ablation.json runs/ablate_plus_8mf/
 fi
+if [ ! -f runs/diag_plus40/diag_plus.json ]; then
+    mkdir -p runs/diag_plus40
+    cp artifacts/diag_plus40_r4/diag_plus.json runs/diag_plus40/
+fi
+if [ ! -f runs/ablate_plus40fix_8mf/ablation.json ]; then
+    mkdir -p runs/ablate_plus40fix_8mf
+    cp artifacts/ablation_plus40fix_r5/ablation.json \
+        runs/ablate_plus40fix_8mf/
+fi
+
+# round-5 queue (scripts/tpu_queue_r5.sh): job outputs committed under
+# artifacts/ get their runs/-path guards AND done-markers pre-seeded
+if [ -f artifacts/seed_rob_plus_r5/seed_robustness.json ] \
+        && [ ! -f runs/seed_rob_plus_8mf/seed_robustness.json ]; then
+    mkdir -p runs/seed_rob_plus_8mf
+    cp artifacts/seed_rob_plus_r5/seed_robustness.json \
+        runs/seed_rob_plus_8mf/
+    touch runs/.r5_done_01_plus_seeds
+fi
+[ ! -f artifacts/latency_search_v9b/comparison.json ] \
+    || touch runs/.r5_done_02_v9b_e2e_budget
+[ ! -f artifacts/budget_trajectory_plus_r5/trajectory.json ] \
+    || touch runs/.r5_done_03_plus_trajectories
+[ ! -f artifacts/latency_search_v8r_s2/comparison.json ] \
+    || touch runs/.r5_done_04_v8r_seeds
 
 # 3. regenerate the standing accuracy benchmark dataset (fast, ~1 min)
 if [ ! -d /tmp/hardimgs/train ]; then
