@@ -261,6 +261,7 @@ def test_width_mult_variants():
     assert logits.shape == (2, 10)
 
 
+@pytest.mark.slow  # measured 29.9 s in the round-5 quick-tier timing run
 def test_se_gate_init_semantics():
     """se_gate_init sets the gate's starting LOGIT (b2) under zero-init,
     and a constant gate is exactly normalized away by bn3 in training
