@@ -285,6 +285,21 @@ class Experiment:
                 cfg.search.latency_e2e_budget_ms
                 / max(self.latency_budget_ms, 1e-9)
             )
+        elif (cfg.search.latency_e2e_budget_ms > 0
+              and cfg.search.latency_budget_ms > 0):
+            # fresh start with BOTH budgets set: the LUT seed encodes a
+            # measured prior — latency_budget_ms is the priced ms KNOWN
+            # to correspond to the e2e target (the v9 protocol seeds
+            # 12.51 LUT-ms for the 11.12 ms target, the reference net's
+            # own e2e/LUT ratio 0.889). Seeding the EMA at that ratio
+            # keeps the working budget AT the seed until in-regime
+            # measurements arrive; seeding at 1.0 would silently
+            # re-tighten the budget to the raw target (-11%) on the
+            # first out-of-regime event.
+            self.e2e_corr_ema = float(
+                cfg.search.latency_e2e_budget_ms
+                / cfg.search.latency_budget_ms
+            )
         if fresh:
             # normalizer convention matches the FLOPs weights: mean atom
             # price over the supernet's searchable atoms at init = 1

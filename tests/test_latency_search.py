@@ -750,6 +750,12 @@ def test_latency_driver_e2e_budget_correction(tmp_path, monkeypatch):
     monkeypatch.setattr(latlib, "measure_arch_e2e_ms", fake_e2e)
 
     e2e_budget = 0.8 * supernet_probe_ms
+    # seed the working budget at a DIFFERENT priced ms (the v9 protocol
+    # seeds the reference net's own LUT price): the EMA must start at the
+    # encoded prior ratio e2e/seed, not 1.0, or the first correction
+    # event silently re-tightens the budget to the raw target
+    seed_budget = 0.9 * supernet_probe_ms
+    ema0 = e2e_budget / seed_budget
     over = {
         "search.enabled": True,
         "search.penalty": 0.05,
@@ -757,6 +763,7 @@ def test_latency_driver_e2e_budget_correction(tmp_path, monkeypatch):
         "search.cost_metric": "latency",
         "search.penalty_schedule": "adaptive",
         "search.latency_e2e_budget_ms": e2e_budget,
+        "search.latency_budget_ms": seed_budget,
         "search.budget_warmup_epochs": 0.25,
         "search.budget_ramp_epochs": 1.0,
         "search.shrink_interval_steps": 3,
@@ -772,8 +779,9 @@ def test_latency_driver_e2e_budget_correction(tmp_path, monkeypatch):
     corr = summary["e2e_corrections"]
     assert len(corr) >= 1  # at least the final-export re-slice measured
     # the recorded trajectory replays exactly through the policy function
-    # (gate + clamp + EMA — search/latency.py::e2e_budget_correction)
-    ema = 1.0
+    # (gate + clamp + EMA — search/latency.py::e2e_budget_correction),
+    # starting from the seeded prior ratio
+    ema = ema0
     for c in corr:
         ema, budget, event = latlib.e2e_budget_correction(
             c["measured_e2e_ms"], c["lut_ms"], e2e_budget, ema,
