@@ -48,6 +48,13 @@ fi
     || touch runs/.r5_done_03_plus_trajectories
 [ ! -f artifacts/latency_search_v8r_s2/comparison.json ] \
     || touch runs/.r5_done_04_v8r_seeds
+if [ -f artifacts/probe_plus_nozero_r5/seed_robustness.json ] \
+        && [ ! -f runs/probe_plus_nozero/seed_robustness.json ]; then
+    mkdir -p runs/probe_plus_nozero
+    cp artifacts/probe_plus_nozero_r5/seed_robustness.json \
+        runs/probe_plus_nozero/
+    touch runs/.r5_done_05_plus_searched_nozero
+fi
 
 # 3. regenerate the standing accuracy benchmark dataset (fast, ~1 min)
 if [ ! -d /tmp/hardimgs/train ]; then
