@@ -153,9 +153,12 @@ def test_meters_and_writer(tmp_path):
 
     t = ThroughputMeter(num_chips=2)
     t.update(100)
+    # back-date the window start so elapsed (~1 s) dwarfs the wall-clock
+    # drift between the two rate calls — with a fresh _t0 the elapsed is
+    # microseconds and a scheduler hiccup between calls can double it,
+    # flipping rate_per_chip() >= rate() (observed flaking under queue load)
+    t._t0 -= 1.0
     assert t.rate() > 0
-    # per-chip rate halves the total (elapsed time moves between calls, so
-    # compare loosely)
     assert 0 < t.rate_per_chip() < t.rate()
 
 
