@@ -302,6 +302,20 @@ class SearchConfig:
     # behavior). The smoothed ratio sets the working budget
     # target/ema, and is checkpointed (resume must not re-measure).
     latency_e2e_corr_ema: float = 0.5
+    # Correction policy. "ema" = the v9b policy above (gate + clamp +
+    # EMA). "trim" = the v9b post-mortem policy (search/latency.py::
+    # e2e_budget_trim): v9b still landed -12% under target because the
+    # composition ratio drifts with the shrinking arch (x1.003 at its
+    # 15 LUT-ms arch -> x0.833 at 11.7) and the EMA's mid-ramp
+    # tightening is irreversible under monotone masks. trim seeds the
+    # working budget at target/corr_lo (loosest plausible — the ramp
+    # lands AT or ABOVE the real target), ignores out-of-regime events,
+    # and tightens toward target*lut/measured at most
+    # latency_e2e_trim_step per re-slice, re-measuring between trims;
+    # loosening is free (it just parks the landing).
+    latency_e2e_policy: str = "ema"
+    # max fractional tighten per trim event (policy "trim")
+    latency_e2e_trim_step: float = 0.10
 
 
 @dataclasses.dataclass(frozen=True)

@@ -522,6 +522,74 @@ def e2e_budget_correction(
     return float(ema), float(working_budget_ms), event
 
 
+def e2e_budget_trim(
+    measured_ms: float,
+    lut_ms: float,
+    target_ms: float,
+    working_prev_ms: float,
+    *,
+    regime_factor: float,
+    corr_lo: float,
+    corr_hi: float,
+    max_step: float,
+    step: int = 0,
+) -> Tuple[float, Dict[str, Any]]:
+    """One approach-from-above trim event — the v9b post-mortem policy.
+
+    v9b's gated/clamped/EMA policy fixed the v9 whipsaw but still landed
+    -12% under its e2e target: the composition ratio DRIFTS with the
+    shrinking arch (measured x1.003 at its 15.0 LUT-ms arch but x0.833 at
+    its 11.7 LUT-ms arch, runs/latsearch_15mf_v9b), so the EMA's mid-ramp
+    tightening (working budget 12.51 -> 11.76 on the x1.003 event) became
+    an irreversible overshoot once the true landing ratio came in low.
+    Monotone masks can only ever TIGHTEN, so the drift-robust policy does
+    all tightening late, each step against a fresh in-regime measurement:
+
+    1. Approach from above — the caller seeds the working budget at
+       ``target/corr_lo`` (the loosest plausible compact-net ratio), so
+       the ramp lands the live net AT or ABOVE the real target for any
+       true ratio inside the measured band.
+    2. Out-of-regime events (measured > ``regime_factor`` x target) are
+       recorded but change nothing, as in :func:`e2e_budget_correction`.
+    3. In-regime events compute the budget that would put the CURRENT
+       arch on target — ``target * lut/measured`` (in-regime measurements
+       are bit-reproducible on this rig: v9b measured 9.7753/9.7750 at
+       the same arch, no EMA needed) — and move the working budget there,
+       but tighten at most ``max_step`` (fraction) per event: the ratio
+       measured on the current arch overstates how much a SMALLER arch
+       needs to be cut (the drift above), and the next re-slice
+       re-measures anyway. Loosening is unrestricted — masks cannot
+       grow, so a looser budget just stops further trimming (the brake
+       that parks the landing near target instead of chasing the drift
+       through it). The budget never goes below ``target/corr_hi``.
+
+    Returns ``(working_budget_ms, event_record)``.
+    """
+    raw = measured_ms / max(lut_ms, 1e-9)
+    in_regime = measured_ms <= regime_factor * target_ms
+    if in_regime:
+        needed = target_ms * lut_ms / max(measured_ms, 1e-9)
+        floor = max(working_prev_ms * (1.0 - max_step),
+                    target_ms / corr_hi)
+        working = max(needed, floor)
+    else:
+        needed = None
+        working = working_prev_ms
+    event = {
+        "step": int(step),
+        "measured_e2e_ms": float(measured_ms),
+        "lut_ms": float(lut_ms),
+        "correction_raw": float(raw),
+        "in_regime": bool(in_regime),
+        "needed_budget_ms": None if needed is None else float(needed),
+        # mirror the ema-policy record shape so checkpoint resume and the
+        # summary serializer treat both policies uniformly
+        "corr_ema": float(target_ms / max(working, 1e-9)),
+        "working_budget_ms": float(working),
+    }
+    return float(working), event
+
+
 _PROBE_FRACS = (0.03, 0.08, 0.2, 0.45, 0.7, 1.0)
 
 

@@ -202,6 +202,11 @@ class Experiment:
                 "at re-slice events; it requires "
                 "search.reslice_every_events > 0"
             )
+        if cfg.search.latency_e2e_policy not in ("ema", "trim"):
+            raise ValueError(
+                "search.latency_e2e_policy must be 'ema' or 'trim', got "
+                f"{cfg.search.latency_e2e_policy!r}"
+            )
         if lut is None and cfg.search.latency_lut_path:
             lut = json.loads(
                 pathlib.Path(cfg.search.latency_lut_path).read_text()
@@ -267,6 +272,19 @@ class Experiment:
         # first re-slice provides a measured correction.
         if self._restored_latency_budget_ms is not None:
             self.latency_budget_ms = float(self._restored_latency_budget_ms)
+        elif (cfg.search.latency_e2e_budget_ms > 0
+              and cfg.search.latency_e2e_policy == "trim"):
+            # approach-from-above seed: the loosest plausible compact-net
+            # ratio, so the ramp lands the live net AT or ABOVE the real
+            # e2e target for any true ratio in the measured band and the
+            # post-ramp trim does all the (irreversible) tightening
+            # against fresh in-regime measurements. The "ema" policy's
+            # measured-pair seed below is exactly what drifted tight in
+            # v9b (-12%; latlib.e2e_budget_trim docstring).
+            self.latency_budget_ms = float(
+                cfg.search.latency_e2e_budget_ms
+                / cfg.search.latency_e2e_corr_lo
+            )
         elif cfg.search.latency_budget_ms > 0:
             self.latency_budget_ms = float(cfg.search.latency_budget_ms)
         else:
@@ -286,19 +304,20 @@ class Experiment:
                 / max(self.latency_budget_ms, 1e-9)
             )
         elif (cfg.search.latency_e2e_budget_ms > 0
-              and cfg.search.latency_budget_ms > 0):
-            # fresh start with BOTH budgets set: the LUT seed encodes a
-            # measured prior — latency_budget_ms is the priced ms KNOWN
-            # to correspond to the e2e target (the v9 protocol seeds
-            # 12.51 LUT-ms for the 11.12 ms target, the reference net's
-            # own e2e/LUT ratio 0.889). Seeding the EMA at that ratio
-            # keeps the working budget AT the seed until in-regime
-            # measurements arrive; seeding at 1.0 would silently
-            # re-tighten the budget to the raw target (-11%) on the
-            # first out-of-regime event.
+              and self.latency_budget_ms > 0):
+            # fresh start: the working-budget seed encodes a prior ratio —
+            # for policy "ema" with both budgets set, latency_budget_ms is
+            # the priced ms KNOWN to correspond to the e2e target (the v9
+            # protocol seeds 12.51 LUT-ms for the 11.12 ms target, the
+            # reference net's own e2e/LUT ratio 0.889); for policy "trim"
+            # the seed is target/corr_lo, so the mirror ratio is corr_lo.
+            # Seeding the EMA at the implied ratio keeps the working
+            # budget AT the seed until in-regime measurements arrive;
+            # seeding at 1.0 would silently re-tighten the budget to the
+            # raw target on the first out-of-regime event.
             self.e2e_corr_ema = float(
                 cfg.search.latency_e2e_budget_ms
-                / cfg.search.latency_budget_ms
+                / self.latency_budget_ms
             )
         if fresh:
             # normalizer convention matches the FLOPs weights: mean atom
@@ -573,18 +592,34 @@ class Experiment:
                     iters=cfg.search.latency_e2e_iters,
                 )
                 lut_now = self._lut_ms(jax.device_get(self.state.masks))
-                self.e2e_corr_ema, self.latency_budget_ms, event = (
-                    latlib.e2e_budget_correction(
+                if cfg.search.latency_e2e_policy == "trim":
+                    self.latency_budget_ms, event = latlib.e2e_budget_trim(
                         measured, lut_now,
                         cfg.search.latency_e2e_budget_ms,
-                        self.e2e_corr_ema,
+                        self.latency_budget_ms,
                         regime_factor=cfg.search.latency_e2e_regime_factor,
                         corr_lo=cfg.search.latency_e2e_corr_lo,
                         corr_hi=cfg.search.latency_e2e_corr_hi,
-                        ema_weight=cfg.search.latency_e2e_corr_ema,
+                        max_step=cfg.search.latency_e2e_trim_step,
                         step=step,
                     )
-                )
+                    # mirror ratio (target/working) keeps the checkpoint
+                    # contract and the log line shared across policies
+                    self.e2e_corr_ema = event["corr_ema"]
+                else:
+                    self.e2e_corr_ema, self.latency_budget_ms, event = (
+                        latlib.e2e_budget_correction(
+                            measured, lut_now,
+                            cfg.search.latency_e2e_budget_ms,
+                            self.e2e_corr_ema,
+                            regime_factor=(
+                                cfg.search.latency_e2e_regime_factor),
+                            corr_lo=cfg.search.latency_e2e_corr_lo,
+                            corr_hi=cfg.search.latency_e2e_corr_hi,
+                            ema_weight=cfg.search.latency_e2e_corr_ema,
+                            step=step,
+                        )
+                    )
                 self.e2e_corrections.append(event)
                 self.log.info(
                     "e2e budget correction @ step %d: measured %.3f ms vs "

@@ -74,6 +74,9 @@ DRAWS = {
     "v9b e2e-denominated budget (gated/clamped/EMA corrections)": {
         "path": "artifacts/latency_search_v9b/comparison.json",
         "deconfounded": True, "family": False},
+    "v9c e2e-denominated budget (approach-from-above trim)": {
+        "path": "artifacts/latency_search_v9c/comparison.json",
+        "deconfounded": True, "family": False},
 }
 
 

@@ -535,6 +535,63 @@ def test_e2e_budget_correction_v9_trace_replay():
     assert abs(ema - true_ratio) < abs(1.0 - true_ratio)
 
 
+def test_e2e_budget_trim_policy():
+    """The v9b-post-mortem trim policy (search/latency.py::
+    e2e_budget_trim): out-of-regime no-op, step-capped tightening toward
+    target*lut/measured, free loosening, target/corr_hi floor."""
+    kw = dict(regime_factor=1.5, corr_lo=0.8, corr_hi=1.25, max_step=0.10)
+    # out-of-regime: recorded, budget unchanged
+    w, ev = latlib.e2e_budget_trim(54.112, 52.691, 11.12, 13.90, **kw)
+    assert w == 13.90
+    assert not ev["in_regime"] and ev["needed_budget_ms"] is None
+    # in-regime, needed far below current: tighten capped at 10%/event
+    w, ev = latlib.e2e_budget_trim(15.0, 15.0, 11.12, 13.90, **kw)
+    assert ev["in_regime"]
+    assert ev["needed_budget_ms"] == pytest.approx(11.12)
+    assert w == pytest.approx(13.90 * 0.9)
+    # in-regime, measured below target: LOOSEN freely (the brake — masks
+    # cannot grow, so this just stops further trimming)
+    w, ev = latlib.e2e_budget_trim(9.775, 11.730, 11.12, 12.51, **kw)
+    assert w == pytest.approx(11.12 * 11.730 / 9.775)
+    assert w > 12.51
+    # the budget never goes below target/corr_hi even when the step cap
+    # would allow it
+    w, ev = latlib.e2e_budget_trim(15.0, 10.0, 11.12, 9.0, **kw)
+    assert w == pytest.approx(11.12 / 1.25)
+    # mirror ratio for the shared checkpoint/log contract
+    assert ev["corr_ema"] == pytest.approx(11.12 / w)
+
+
+def test_e2e_budget_trim_v9b_trace_replay():
+    """Replaying v9b's measured correction trace through the trim policy:
+    seeded at target/corr_lo (approach from above), every tightening is
+    step-capped and in-regime, the budget never drops below the v8-blessed
+    12.51 prior (the ema policy tightened to 11.76 mid-ramp on the stale
+    x1.003 event — the -12% landing miss, runs/latsearch_15mf_v9b), and
+    the final budget sits exactly at target/true_ratio = 13.34."""
+    trace = [  # (measured_e2e_ms, lut_ms) per re-slice, v9b actuals
+        (54.112, 52.691), (37.729, 44.473), (45.394, 36.445),
+        (26.975, 29.320), (20.536, 24.355), (15.081, 15.039),
+        (9.775, 11.730), (9.775, 11.730),
+    ]
+    target = 11.12
+    kw = dict(regime_factor=1.5, corr_lo=0.8, corr_hi=1.25, max_step=0.10)
+    working = target / 0.8  # the trim-mode seed (loop.py)
+    budgets = []
+    for i, (m, lut) in enumerate(trace):
+        working, ev = latlib.e2e_budget_trim(
+            m, lut, target, working, step=i, **kw)
+        budgets.append(working)
+    assert budgets[:5] == [pytest.approx(target / 0.8)] * 5
+    # the one tightening (x1.003 event) is capped at 10% and stays above
+    # the prior the ema policy broke through
+    assert min(budgets) == pytest.approx(target / 0.8 * 0.9)
+    assert min(budgets) > 12.5
+    # the landing-regime events park the budget at target/true_ratio
+    true_ratio = 9.775 / 11.730
+    assert budgets[-1] == pytest.approx(target / true_ratio, rel=1e-6)
+
+
 def test_update_masks_latency_budget_floor():
     """The floor resurrects highest-|gamma| dying atoms until live ms >=
     floor, on the LUT surface."""
@@ -833,6 +890,102 @@ def test_latency_driver_e2e_budget_correction(tmp_path, monkeypatch):
     assert exp.e2e_corr_ema == pytest.approx(
         e2e_budget / summary["final_working_budget_ms"]
     )
+
+
+@pytest.mark.slow
+def test_latency_driver_e2e_budget_trim(tmp_path, monkeypatch):
+    """latency_e2e_policy=trim through the driver: the working budget
+    seeds at target/corr_lo (approach from above — NOT the ema policy's
+    measured-pair prior), and every recorded event replays exactly
+    through search/latency.py::e2e_budget_trim."""
+    import jax
+
+    from atomnas_tpu.models.supernet import init_params
+    from atomnas_tpu.train.loop import Experiment, train_and_eval
+
+    cfg0, arch = tiny_arch()
+    params, stats = init_params(jax.random.key(0), arch)
+    probe = latlib.measure_latency_lut(
+        arch, params, stats, cfg0.model.input_size, batch=2,
+        fracs=(0.25, 1.0), iters=2,
+    )
+    supernet_probe_ms = latlib.supernet_ms(probe)
+    k = supernet_probe_ms / F.model_flops(arch, cfg0.model.input_size)
+
+    def fake_e2e(a, input_size, batch, iters=10, seed=0):
+        return k * F.model_flops(a, input_size)
+
+    monkeypatch.setattr(latlib, "measure_arch_e2e_ms", fake_e2e)
+
+    e2e_budget = 0.8 * supernet_probe_ms
+    over = {
+        "search.enabled": True,
+        "search.penalty": 0.05,
+        "search.prune_threshold": 1.5,
+        "search.cost_metric": "latency",
+        "search.penalty_schedule": "adaptive",
+        "search.latency_e2e_budget_ms": e2e_budget,
+        "search.latency_e2e_policy": "trim",
+        # the ema policy would seed the working budget here; trim must
+        # ignore it in favor of target/corr_lo
+        "search.latency_budget_ms": 0.9 * supernet_probe_ms,
+        "search.budget_warmup_epochs": 0.25,
+        "search.budget_ramp_epochs": 1.0,
+        "search.shrink_interval_steps": 3,
+        "search.reslice_every_events": 2,
+        "search.latency_lut_batch": 2,
+        "search.latency_e2e_iters": 2,
+        "data.dataset": "synthetic_learnable",
+    }
+    cfg = make_cfg(tmp_path, **over)
+    seed_budget = e2e_budget / cfg.search.latency_e2e_corr_lo
+    exp = Experiment(cfg)
+    assert exp.latency_budget_ms == pytest.approx(seed_budget)
+    assert exp.e2e_corr_ema == pytest.approx(
+        cfg.search.latency_e2e_corr_lo)
+    summary = train_and_eval(cfg)
+    corr = summary["e2e_corrections"]
+    assert len(corr) >= 1
+    working = seed_budget
+    for c in corr:
+        working, event = latlib.e2e_budget_trim(
+            c["measured_e2e_ms"], c["lut_ms"], e2e_budget, working,
+            regime_factor=cfg.search.latency_e2e_regime_factor,
+            corr_lo=cfg.search.latency_e2e_corr_lo,
+            corr_hi=cfg.search.latency_e2e_corr_hi,
+            max_step=cfg.search.latency_e2e_trim_step,
+            step=c["step"],
+        )
+        assert c["working_budget_ms"] == pytest.approx(working, rel=1e-9)
+        assert c["corr_ema"] == pytest.approx(
+            e2e_budget / working, rel=1e-9)
+        # the trim never tightens more than max_step per event
+    for prev, c in zip([seed_budget] + [c["working_budget_ms"]
+                                        for c in corr], corr):
+        assert c["working_budget_ms"] >= prev * (
+            1.0 - cfg.search.latency_e2e_trim_step) - 1e-9
+    assert summary["final_working_budget_ms"] == pytest.approx(
+        corr[-1]["working_budget_ms"]
+    )
+
+
+def test_e2e_policy_validation(tmp_path):
+    """Unknown latency_e2e_policy values are rejected at Experiment
+    construction, before any device work."""
+    from atomnas_tpu.train.loop import Experiment
+
+    cfg = make_cfg(
+        tmp_path,
+        **{
+            "search.enabled": True,
+            "search.cost_metric": "latency",
+            "search.penalty_schedule": "adaptive",
+            "search.latency_budget_ms": 1.0,
+            "search.latency_e2e_policy": "bogus",
+        },
+    )
+    with pytest.raises(ValueError, match="latency_e2e_policy"):
+        Experiment(cfg)
 
 
 def test_latsearch_snapshot_roundtrip(tmp_path):
