@@ -16,7 +16,7 @@ ART=artifacts/probe_plus_nozero_r5
 if [ ! -f $OUT/seed_robustness.json ]; then
     python scripts/seed_robustness.py \
         --config configs/jpeg_hard_plus.yml --out $OUT \
-        --target-mflops 8.428904 --legs searched --seeds 0 \
+        --target-mflops 8.428904 --legs searched --seeds 0 -- \
         model.se_zero_init=false
 fi
 mkdir -p $ART
