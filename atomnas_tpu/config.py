@@ -316,6 +316,12 @@ class SearchConfig:
     latency_e2e_policy: str = "ema"
     # max fractional tighten per trim event (policy "trim")
     latency_e2e_trim_step: float = 0.10
+    # settled gate (policy "trim", v9c post-mortem): act only when the
+    # live arch has converged to the working budget (live LUT-ms <=
+    # working * tol). v9c trimmed on a mid-descent arch (live 16.67
+    # vs working 13.90) whose ratio (x0.931) did not describe the
+    # settled arch (x0.775) — the drift failure one regime later.
+    latency_e2e_settle_tol: float = 1.05
 
 
 @dataclasses.dataclass(frozen=True)

@@ -532,6 +532,7 @@ def e2e_budget_trim(
     corr_lo: float,
     corr_hi: float,
     max_step: float,
+    settle_tol: float = 1.05,
     step: int = 0,
 ) -> Tuple[float, Dict[str, Any]]:
     """One approach-from-above trim event — the v9b post-mortem policy.
@@ -551,23 +552,34 @@ def e2e_budget_trim(
        true ratio inside the measured band.
     2. Out-of-regime events (measured > ``regime_factor`` x target) are
        recorded but change nothing, as in :func:`e2e_budget_correction`.
-    3. In-regime events compute the budget that would put the CURRENT
-       arch on target — ``target * lut/measured`` (in-regime measurements
-       are bit-reproducible on this rig: v9b measured 9.7753/9.7750 at
-       the same arch, no EMA needed) — and move the working budget there,
-       but tighten at most ``max_step`` (fraction) per event: the ratio
-       measured on the current arch overstates how much a SMALLER arch
-       needs to be cut (the drift above), and the next re-slice
-       re-measures anyway. Loosening is unrestricted — masks cannot
-       grow, so a looser budget just stops further trimming (the brake
-       that parks the landing near target instead of chasing the drift
-       through it). The budget never goes below ``target/corr_hi``.
+    3. SETTLED GATE (v9c post-mortem) — act only when the live arch has
+       actually converged to the current working budget
+       (``lut_ms <= working * settle_tol``). v9c trimmed at a step-4800
+       event measured on a MID-DESCENT arch (live 16.67 LUT-ms against
+       a 13.90 working budget, ratio ×0.931); the penalty then drove
+       the arch the rest of the way down and the landing-scale ratio
+       came in at ×0.775 — the transient arch's ratio does not describe
+       the settled arch, same drift failure as v9b's EMA, one regime
+       later (runs/latsearch_15mf_v9c).
+    4. Settled in-regime events compute the budget that would put the
+       CURRENT arch on target — ``target * lut/measured`` (in-regime
+       measurements are bit-reproducible on this rig: v9b measured
+       9.7753/9.7750 at the same arch, no EMA needed) — and move the
+       working budget there, but tighten at most ``max_step`` (fraction)
+       per event: the ratio measured on the current arch overstates how
+       much a SMALLER arch needs to be cut (the drift above), and the
+       next re-slice re-measures anyway. Loosening is unrestricted —
+       masks cannot grow, so a looser budget just stops further trimming
+       (the brake that parks the landing near target instead of chasing
+       the drift through it). The budget never goes below
+       ``target/corr_hi``.
 
     Returns ``(working_budget_ms, event_record)``.
     """
     raw = measured_ms / max(lut_ms, 1e-9)
     in_regime = measured_ms <= regime_factor * target_ms
-    if in_regime:
+    settled = lut_ms <= working_prev_ms * settle_tol
+    if in_regime and settled:
         needed = target_ms * lut_ms / max(measured_ms, 1e-9)
         floor = max(working_prev_ms * (1.0 - max_step),
                     target_ms / corr_hi)
@@ -581,6 +593,7 @@ def e2e_budget_trim(
         "lut_ms": float(lut_ms),
         "correction_raw": float(raw),
         "in_regime": bool(in_regime),
+        "settled": bool(settled),
         "needed_budget_ms": None if needed is None else float(needed),
         # mirror the ema-policy record shape so checkpoint resume and the
         # summary serializer treat both policies uniformly

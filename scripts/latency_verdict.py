@@ -77,6 +77,9 @@ DRAWS = {
     "v9c e2e-denominated budget (approach-from-above trim)": {
         "path": "artifacts/latency_search_v9c/comparison.json",
         "deconfounded": True, "family": False},
+    "v9d e2e-denominated budget (settled trim, cadence 4)": {
+        "path": "artifacts/latency_search_v9d/comparison.json",
+        "deconfounded": True, "family": False},
 }
 
 

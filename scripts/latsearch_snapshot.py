@@ -55,6 +55,7 @@ LEGS = (
     "latsearch_15mf_v9",  # e2e-denominated budget (in-loop correction)
     "latsearch_15mf_v9b",  # v9 with the round-5 gated/clamped/EMA policy
     "latsearch_15mf_v9c",  # v9b post-mortem: approach-from-above trim policy
+    "latsearch_15mf_v9d",  # v9c post-mortem: settled trim + cadence-4 re-slices
 )
 # small per-run streams worth keeping for the artifact record
 AUX = ("metrics_train.csv", "metrics_eval.csv", "arch_events.jsonl",

@@ -539,57 +539,93 @@ def test_e2e_budget_trim_policy():
     """The v9b-post-mortem trim policy (search/latency.py::
     e2e_budget_trim): out-of-regime no-op, step-capped tightening toward
     target*lut/measured, free loosening, target/corr_hi floor."""
-    kw = dict(regime_factor=1.5, corr_lo=0.8, corr_hi=1.25, max_step=0.10)
+    kw = dict(regime_factor=1.5, corr_lo=0.8, corr_hi=1.25, max_step=0.10,
+              settle_tol=1.05)
     # out-of-regime: recorded, budget unchanged
     w, ev = latlib.e2e_budget_trim(54.112, 52.691, 11.12, 13.90, **kw)
     assert w == 13.90
     assert not ev["in_regime"] and ev["needed_budget_ms"] is None
-    # in-regime, needed far below current: tighten capped at 10%/event
-    w, ev = latlib.e2e_budget_trim(15.0, 15.0, 11.12, 13.90, **kw)
-    assert ev["in_regime"]
-    assert ev["needed_budget_ms"] == pytest.approx(11.12)
+    # in-regime but NOT settled (live LUT still above working*tol — the
+    # arch is mid-descent, its ratio does not describe the settled arch,
+    # the v9c miss): recorded, budget unchanged
+    w, ev = latlib.e2e_budget_trim(15.523, 16.670, 11.12, 13.90, **kw)
+    assert w == 13.90
+    assert ev["in_regime"] and not ev["settled"]
+    assert ev["needed_budget_ms"] is None
+    # settled in-regime, needed far below current: tighten capped at
+    # 10%/event
+    w, ev = latlib.e2e_budget_trim(15.0, 14.0, 11.12, 13.90, **kw)
+    assert ev["in_regime"] and ev["settled"]
+    assert ev["needed_budget_ms"] == pytest.approx(11.12 * 14.0 / 15.0)
     assert w == pytest.approx(13.90 * 0.9)
-    # in-regime, measured below target: LOOSEN freely (the brake — masks
-    # cannot grow, so this just stops further trimming)
+    # settled in-regime, measured below target: LOOSEN freely (the brake
+    # — masks cannot grow, so this just stops further trimming)
     w, ev = latlib.e2e_budget_trim(9.775, 11.730, 11.12, 12.51, **kw)
     assert w == pytest.approx(11.12 * 11.730 / 9.775)
     assert w > 12.51
     # the budget never goes below target/corr_hi even when the step cap
     # would allow it
-    w, ev = latlib.e2e_budget_trim(15.0, 10.0, 11.12, 9.0, **kw)
+    w, ev = latlib.e2e_budget_trim(15.0, 9.0, 11.12, 9.0, **kw)
     assert w == pytest.approx(11.12 / 1.25)
     # mirror ratio for the shared checkpoint/log contract
     assert ev["corr_ema"] == pytest.approx(11.12 / w)
 
 
 def test_e2e_budget_trim_v9b_trace_replay():
-    """Replaying v9b's measured correction trace through the trim policy:
-    seeded at target/corr_lo (approach from above), every tightening is
-    step-capped and in-regime, the budget never drops below the v8-blessed
-    12.51 prior (the ema policy tightened to 11.76 mid-ramp on the stale
-    x1.003 event — the -12% landing miss, runs/latsearch_15mf_v9b), and
-    the final budget sits exactly at target/true_ratio = 13.34."""
+    """Replaying v9b's measured correction trace through the settled trim
+    policy: seeded at target/corr_lo (approach from above), the x1.003
+    mid-descent event (lut 15.04 against the 13.90 working budget — the
+    stale ratio the ema policy tightened on, the -12% landing miss of
+    runs/latsearch_15mf_v9b) is gated out as unsettled, and the
+    landing-regime events park the budget exactly at target/true_ratio
+    = 13.34 with one gentle 4% tighten."""
     trace = [  # (measured_e2e_ms, lut_ms) per re-slice, v9b actuals
         (54.112, 52.691), (37.729, 44.473), (45.394, 36.445),
         (26.975, 29.320), (20.536, 24.355), (15.081, 15.039),
         (9.775, 11.730), (9.775, 11.730),
     ]
     target = 11.12
-    kw = dict(regime_factor=1.5, corr_lo=0.8, corr_hi=1.25, max_step=0.10)
+    kw = dict(regime_factor=1.5, corr_lo=0.8, corr_hi=1.25, max_step=0.10,
+              settle_tol=1.05)
     working = target / 0.8  # the trim-mode seed (loop.py)
-    budgets = []
+    budgets, events = [], []
     for i, (m, lut) in enumerate(trace):
         working, ev = latlib.e2e_budget_trim(
             m, lut, target, working, step=i, **kw)
         budgets.append(working)
-    assert budgets[:5] == [pytest.approx(target / 0.8)] * 5
-    # the one tightening (x1.003 event) is capped at 10% and stays above
-    # the prior the ema policy broke through
-    assert min(budgets) == pytest.approx(target / 0.8 * 0.9)
-    assert min(budgets) > 12.5
-    # the landing-regime events park the budget at target/true_ratio
+        events.append(ev)
+    # five out-of-regime probes skipped; the 15.04-LUT event is in-regime
+    # but unsettled (15.04 > 13.90*1.05) — also skipped
+    assert [e["in_regime"] for e in events] == [False] * 5 + [True] * 3
+    assert [e["settled"] for e in events] == [False] * 6 + [True] * 2
+    assert budgets[:6] == [pytest.approx(target / 0.8)] * 6
+    # the landing-regime events park the budget at target/true_ratio via
+    # a single 4% tighten (never through the v8-blessed 12.51 prior)
     true_ratio = 9.775 / 11.730
     assert budgets[-1] == pytest.approx(target / true_ratio, rel=1e-6)
+    assert min(budgets) == pytest.approx(target / true_ratio, rel=1e-6)
+
+
+def test_e2e_budget_trim_v9c_trace_replay():
+    """Replaying v9c's measured trace: the step-4800 trim that caused its
+    -13% landing (taken on a mid-descent arch, live 16.67 LUT vs working
+    13.90, ratio x0.931 — while the settled arch measured x0.775) is
+    exactly what the settled gate refuses."""
+    target = 11.12
+    kw = dict(regime_factor=1.5, corr_lo=0.8, corr_hi=1.25, max_step=0.10,
+              settle_tol=1.05)
+    working = target / 0.8
+    # v9c actuals: five out-of-regime probes, then the mid-descent event
+    for i, (m, lut) in enumerate([
+            (54.112, 52.857), (46.867, 44.815), (32.202, 36.788),
+            (27.780, 30.082), (20.762, 24.788)]):
+        working, ev = latlib.e2e_budget_trim(
+            m, lut, target, working, step=i, **kw)
+        assert working == pytest.approx(target / 0.8)
+    working, ev = latlib.e2e_budget_trim(
+        15.523, 16.670, target, working, step=5, **kw)
+    assert ev["in_regime"] and not ev["settled"]
+    assert working == pytest.approx(target / 0.8)  # v9c tightened here
 
 
 def test_update_masks_latency_budget_floor():
@@ -954,6 +990,7 @@ def test_latency_driver_e2e_budget_trim(tmp_path, monkeypatch):
             corr_lo=cfg.search.latency_e2e_corr_lo,
             corr_hi=cfg.search.latency_e2e_corr_hi,
             max_step=cfg.search.latency_e2e_trim_step,
+            settle_tol=cfg.search.latency_e2e_settle_tol,
             step=c["step"],
         )
         assert c["working_budget_ms"] == pytest.approx(working, rel=1e-9)
