@@ -1,0 +1,21 @@
+#!/usr/bin/env bash
+# Round-5 job 09: plus budget-landing trajectories under the A/B/C
+# protocol (no grad clip) — the FIXED retake of job 07, whose override
+# was silently swallowed by budget_trajectory.py's greedy
+# nargs="*" --configs flag (the job re-ran the clipped protocol and
+# reproduced +45.3% bit-identically — deterministic runs, wrong argv).
+# The override now precedes --configs (parse-tested). Rationale
+# unchanged: the shipped plus configs bake grad_clip_norm=5.0 (an SE
+# accuracy knob selected at the full schedule) and under the
+# ~60x-compressed penalty the clip rescales the L1 gamma gradients,
+# slowing the descent ~2x vs the unclipped relu6 protocol (+0.006%).
+set -euo pipefail
+cd /root/repo
+
+D=artifacts/budget_trajectory_plus_r5_noclip
+if [ ! -f $D/trajectory.json ]; then
+    python scripts/budget_trajectory.py --out $D --attempts 6 \
+        optim.grad_clip_norm=0 \
+        --configs configs/atomnas_a_plus.yml configs/atomnas_b_plus.yml \
+                  configs/atomnas_c_plus.yml
+fi
