@@ -322,6 +322,15 @@ class SearchConfig:
     # vs working 13.90) whose ratio (x0.931) did not describe the
     # settled arch (x0.775) — the drift failure one regime later.
     latency_e2e_settle_tol: float = 1.05
+    # hold band (policy "trim", v9d post-mortem): no tightening once
+    # measured e2e <= target * (1 + tol). The e2e(LUT) relationship has
+    # a measured cliff at the landing scale (composition ratio 0.92-1.0
+    # above ~14.5 LUT-ms, 0.75-0.83 at ~12.5 — consistent across v9b/
+    # v9c/v9d archs), so proportional trim steps overshoot through it;
+    # holding inside the band parks the landing on the near side. 0
+    # disables (pre-v9e behavior). Pair with latency_e2e_trim_step
+    # ~0.05 so each cliff-ward move is re-measured before the next.
+    latency_e2e_hold_tol: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -533,6 +533,7 @@ def e2e_budget_trim(
     corr_hi: float,
     max_step: float,
     settle_tol: float = 1.05,
+    hold_tol: float = 0.0,
     step: int = 0,
 ) -> Tuple[float, Dict[str, Any]]:
     """One approach-from-above trim event — the v9b post-mortem policy.
@@ -561,29 +562,47 @@ def e2e_budget_trim(
        came in at ×0.775 — the transient arch's ratio does not describe
        the settled arch, same drift failure as v9b's EMA, one regime
        later (runs/latsearch_15mf_v9c).
-    4. Settled in-regime events compute the budget that would put the
-       CURRENT arch on target — ``target * lut/measured`` (in-regime
-       measurements are bit-reproducible on this rig: v9b measured
-       9.7753/9.7750 at the same arch, no EMA needed) — and move the
-       working budget there, but tighten at most ``max_step`` (fraction)
-       per event: the ratio measured on the current arch overstates how
-       much a SMALLER arch needs to be cut (the drift above), and the
-       next re-slice re-measures anyway. Loosening is unrestricted —
-       masks cannot grow, so a looser budget just stops further trimming
-       (the brake that parks the landing near target instead of chasing
-       the drift through it). The budget never goes below
-       ``target/corr_hi``.
+    4. HOLD BAND (v9d post-mortem) — no tightening once the measured
+       e2e is already within ``(1 + hold_tol)`` of the target. The
+       e2e(LUT) relationship has a measured CLIFF right at the landing
+       scale — across four independent archs the composition ratio is
+       ×0.92–1.0 above ~14.5 LUT-ms but ×0.75–0.83 at ~12.5 (v9b
+       15.04→11.73 = 1.003→0.833; v9c 16.67→12.47 = 0.931→0.775; v9d
+       14.48→12.44 = 0.925→0.752) — so the proportional
+       ``target*lut/measured`` step, which assumes e2e scales linearly
+       with LUT, overshoots through the cliff even from a settled
+       measurement (v9d: one legitimate 10%-capped trim at measured
+       13.39 landed 9.37, −16%). Holding inside the band parks the
+       landing on the cliff's near side; pair with a small ``max_step``
+       (~0.05) so each cliff-ward move is re-measured before the next.
+    5. Settled in-regime events above the hold band compute the budget
+       that would put the CURRENT arch on target — ``target *
+       lut/measured`` (in-regime measurements are bit-reproducible on
+       this rig: v9b measured 9.7753/9.7750 at the same arch, no EMA
+       needed) — and move the working budget there, but tighten at most
+       ``max_step`` (fraction) per event: the ratio measured on the
+       current arch overstates how much a SMALLER arch needs to be cut
+       (the drift above), and the next re-slice re-measures anyway.
+       Loosening is unrestricted — masks cannot grow, so a looser
+       budget just stops further trimming (the brake that parks the
+       landing near target instead of chasing the drift through it).
+       The budget never goes below ``target/corr_hi``.
 
     Returns ``(working_budget_ms, event_record)``.
     """
     raw = measured_ms / max(lut_ms, 1e-9)
     in_regime = measured_ms <= regime_factor * target_ms
     settled = lut_ms <= working_prev_ms * settle_tol
-    if in_regime and settled:
+    in_hold_band = measured_ms <= target_ms * (1.0 + hold_tol)
+    if in_regime and settled and not in_hold_band:
         needed = target_ms * lut_ms / max(measured_ms, 1e-9)
         floor = max(working_prev_ms * (1.0 - max_step),
                     target_ms / corr_hi)
         working = max(needed, floor)
+    elif in_regime and settled and measured_ms < target_ms:
+        # below target inside the hold logic: still loosen (the brake)
+        needed = target_ms * lut_ms / max(measured_ms, 1e-9)
+        working = max(needed, working_prev_ms)
     else:
         needed = None
         working = working_prev_ms
@@ -594,6 +613,7 @@ def e2e_budget_trim(
         "correction_raw": float(raw),
         "in_regime": bool(in_regime),
         "settled": bool(settled),
+        "in_hold_band": bool(in_hold_band),
         "needed_budget_ms": None if needed is None else float(needed),
         # mirror the ema-policy record shape so checkpoint resume and the
         # summary serializer treat both policies uniformly

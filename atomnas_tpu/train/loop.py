@@ -602,6 +602,7 @@ class Experiment:
                         corr_hi=cfg.search.latency_e2e_corr_hi,
                         max_step=cfg.search.latency_e2e_trim_step,
                         settle_tol=cfg.search.latency_e2e_settle_tol,
+                        hold_tol=cfg.search.latency_e2e_hold_tol,
                         step=step,
                     )
                     # mirror ratio (target/working) keeps the checkpoint

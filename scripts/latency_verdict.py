@@ -80,6 +80,9 @@ DRAWS = {
     "v9d e2e-denominated budget (settled trim, cadence 4)": {
         "path": "artifacts/latency_search_v9d/comparison.json",
         "deconfounded": True, "family": False},
+    "v9e e2e-denominated budget (5% trim steps + hold band)": {
+        "path": "artifacts/latency_search_v9e/comparison.json",
+        "deconfounded": True, "family": False},
 }
 
 

@@ -56,6 +56,7 @@ LEGS = (
     "latsearch_15mf_v9b",  # v9 with the round-5 gated/clamped/EMA policy
     "latsearch_15mf_v9c",  # v9b post-mortem: approach-from-above trim policy
     "latsearch_15mf_v9d",  # v9c post-mortem: settled trim + cadence-4 re-slices
+    "latsearch_15mf_v9e",  # v9d post-mortem: 5% trim steps + hold band
 )
 # small per-run streams worth keeping for the artifact record
 AUX = ("metrics_train.csv", "metrics_eval.csv", "arch_events.jsonl",

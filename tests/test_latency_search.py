@@ -559,10 +559,20 @@ def test_e2e_budget_trim_policy():
     assert ev["needed_budget_ms"] == pytest.approx(11.12 * 14.0 / 15.0)
     assert w == pytest.approx(13.90 * 0.9)
     # settled in-regime, measured below target: LOOSEN freely (the brake
-    # — masks cannot grow, so this just stops further trimming)
+    # — masks cannot grow, so this just stops further trimming) and
+    # never tighten (tightening while already under target would chase
+    # the ratio cliff through the band)
     w, ev = latlib.e2e_budget_trim(9.775, 11.730, 11.12, 12.51, **kw)
     assert w == pytest.approx(11.12 * 11.730 / 9.775)
     assert w > 12.51
+    w, ev = latlib.e2e_budget_trim(9.775, 11.730, 11.12, 15.0, **kw)
+    assert w == 15.0  # needed (13.34) below current: hold, don't tighten
+    # hold band: measured within (1+hold_tol) of target -> no tighten
+    w, ev = latlib.e2e_budget_trim(
+        11.5, 13.0, 11.12, 13.2, regime_factor=1.5, corr_lo=0.8,
+        corr_hi=1.25, max_step=0.05, settle_tol=1.05, hold_tol=0.05)
+    assert ev["in_hold_band"] and ev["needed_budget_ms"] is None
+    assert w == 13.2
     # the budget never goes below target/corr_hi even when the step cap
     # would allow it
     w, ev = latlib.e2e_budget_trim(15.0, 9.0, 11.12, 9.0, **kw)
@@ -599,11 +609,36 @@ def test_e2e_budget_trim_v9b_trace_replay():
     assert [e["in_regime"] for e in events] == [False] * 5 + [True] * 3
     assert [e["settled"] for e in events] == [False] * 6 + [True] * 2
     assert budgets[:6] == [pytest.approx(target / 0.8)] * 6
-    # the landing-regime events park the budget at target/true_ratio via
-    # a single 4% tighten (never through the v8-blessed 12.51 prior)
-    true_ratio = 9.775 / 11.730
-    assert budgets[-1] == pytest.approx(target / true_ratio, rel=1e-6)
-    assert min(budgets) == pytest.approx(target / true_ratio, rel=1e-6)
+    # the landing-regime events (measured 9.775 < target) never tighten:
+    # the budget holds at the seed throughout
+    assert budgets[-1] == pytest.approx(target / 0.8)
+    assert min(budgets) == pytest.approx(target / 0.8)
+
+
+def test_e2e_budget_trim_v9d_trace_replay_v9e_policy():
+    """Replaying v9d's in-regime trace under the v9e knobs (trim_step
+    0.05 + hold_tol 0.05): the settled 5200-style tighten is capped at
+    5% (13.21, not the proportional 12.03 that jumped the measured
+    e2e(LUT) cliff and landed -16%), and the landing-scale event
+    (measured 9.365 < target) loosens instead of ratcheting."""
+    target = 11.12
+    kw = dict(regime_factor=1.5, corr_lo=0.8, corr_hi=1.25,
+              max_step=0.05, settle_tol=1.05, hold_tol=0.05)
+    working = target / 0.8  # 13.90
+    # step-4800 analogue: in-regime but unsettled -> skip
+    working, ev = latlib.e2e_budget_trim(
+        15.809, 16.704, target, working, step=0, **kw)
+    assert ev["in_regime"] and not ev["settled"]
+    assert working == pytest.approx(target / 0.8)
+    # step-5200 analogue: settled, above the hold band -> 5%-capped trim
+    working, ev = latlib.e2e_budget_trim(
+        13.386, 14.477, target, working, step=1, **kw)
+    assert ev["settled"] and not ev["in_hold_band"]
+    assert working == pytest.approx(target / 0.8 * 0.95)
+    # step-5600 analogue (v9d's actual overshoot reading): loosen-only
+    working, ev = latlib.e2e_budget_trim(
+        9.365, 12.445, target, working, step=2, **kw)
+    assert working == pytest.approx(11.12 * 12.445 / 9.365)
 
 
 def test_e2e_budget_trim_v9c_trace_replay():
@@ -991,6 +1026,7 @@ def test_latency_driver_e2e_budget_trim(tmp_path, monkeypatch):
             corr_hi=cfg.search.latency_e2e_corr_hi,
             max_step=cfg.search.latency_e2e_trim_step,
             settle_tol=cfg.search.latency_e2e_settle_tol,
+            hold_tol=cfg.search.latency_e2e_hold_tol,
             step=c["step"],
         )
         assert c["working_budget_ms"] == pytest.approx(working, rel=1e-9)
